@@ -1,0 +1,82 @@
+"""Shared CLI plumbing: model/tokenizer construction and checkpoint loading.
+
+Flag surface mirrors the reference scripts (validate.py:343-358,
+stage1_train.py:508-537, …) so reference users can switch with familiar
+invocations; paths/configs collapse into the typed config tree.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+
+from candidate_reranking_cir_tpu.config import (
+    RerankerModelConfig,
+    RetrievalModelConfig,
+    TextEncoderConfig,
+    vit_config,
+)
+from candidate_reranking_cir_tpu.data.preprocessing import make_transform
+from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
+from candidate_reranking_cir_tpu.models.tokenizer import load_tokenizer
+from candidate_reranking_cir_tpu.runtime.checkpoint import load_model_params
+
+
+def add_common_flags(parser: argparse.ArgumentParser):
+    parser.add_argument("--dataset", type=str, required=True,
+                        help="'CIRR' or 'fashionIQ'")
+    parser.add_argument("--data-root", type=str, default=".",
+                        help="directory containing cirr_dataset/ or "
+                             "fashionIQ_dataset/")
+    parser.add_argument("--target-ratio", default=1.25, type=float,
+                        help="TargetPad target ratio")
+    parser.add_argument("--transform", default="targetpad", type=str,
+                        help="'squarepad' or 'targetpad'")
+    parser.add_argument("--vocab", type=str, default="",
+                        help="path to bert-base-uncased vocab.txt")
+    parser.add_argument("--vit", type=str, default="base")
+    parser.add_argument("--image-size", type=int, default=384)
+    parser.add_argument("--text-len", type=int, default=40,
+                        help="static text bucket length")
+    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--no-bf16", dest="bf16", action="store_false")
+    return parser
+
+
+def build_stage1(args, *, remat: bool = False):
+    cfg = RetrievalModelConfig(
+        vit=vit_config(args.vit, args.image_size, remat=remat),
+        text=TextEncoderConfig(),
+        text_len=args.text_len)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    return RetrievalModel(cfg, dtype=dtype), cfg
+
+
+def build_stage2(args, *, remat: bool = False):
+    cfg = RerankerModelConfig(
+        vit=vit_config(args.vit, args.image_size, drop_path_rate=0.1,
+                       remat=remat),
+        text=TextEncoderConfig(),
+        text_len=args.text_len)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    return RerankerModel(cfg, dtype=dtype), cfg
+
+
+def load_params(path: str, stage: int, cfg):
+    return load_model_params(path, stage, cfg)
+
+
+def get_transform(args):
+    return make_transform(args.transform, args.image_size, args.target_ratio)
+
+
+def get_tokenizer(args):
+    return load_tokenizer(args.vocab or None)
+
+
+def print_metrics(metrics: dict):
+    for k, v in metrics.items():
+        print(f"{k} = {v:.2f}")

@@ -1,0 +1,173 @@
+"""Dual-stream cross-attention encoder for stage-II re-ranking.
+
+Capability parity with the reference NLVR-style BertModel (nlvr_encoder.py:676-908):
+
+- stream 0 starts from the stage-I fused query embedding z_t, stream 1 from fresh
+  text embeddings (nlvr_encoder.py:891-892);
+- every layer: twin self-attention (separate self0/self1 + dense0/dense1 +
+  LayerNormA/B, no merge), twin cross-attention over the candidate image tokens
+  whose outputs are merged — layers < merge_mlp_from average the two streams,
+  later layers use a Linear(2D -> D) merge — then each stream re-residualizes with
+  its own LayerNorm (nlvr_encoder.py:247-270, 286);
+- a shared FFN applied to each stream (nlvr_encoder.py:469-476);
+- final output: concat of the two streams' CLS states -> [.., 2D]
+  (nlvr_encoder.py:906-908).
+
+TPU-first redesign: instead of the reference's Python loop issuing one forward per
+query row (blip_stage2.py:78-94), the encoder operates on a (query x candidate)
+PAIR GRID [Q, C, L, D]. When all pairs share one candidate set (training: the
+in-batch B x B contrast), candidate K/V projections are computed once per
+candidate per layer and broadcast across queries via ``pair_cross_attention`` —
+an O(B) instead of O(B^2) projection cost. When each query has its own candidate
+list (evaluation top-K re-ranking), the same layer runs with per-pair K/V.
+
+Layers run under two ``nn.scan`` stacks (avg-merge layers, then MLP-merge layers)
+so parameter structure exactly mirrors the reference checkpoint contract
+(blip_stage2.py:160-187) while keeping one compiled body per merge type.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from candidate_reranking_cir_tpu.config import TextEncoderConfig
+from candidate_reranking_cir_tpu.models.layers import (
+    Dense,
+    HeadOutProjection,
+    HeadProjection,
+    LayerNorm,
+    MultiHeadAttention,
+)
+from candidate_reranking_cir_tpu.models.med import BertEmbeddings, BertFFN
+from candidate_reranking_cir_tpu.ops.attention import (
+    dot_product_attention,
+    make_additive_mask,
+    pair_cross_attention,
+)
+
+
+class DualLayer(nn.Module):
+    """One dual-stream layer. Scan-compatible signature.
+
+    h0, h1: [Q, C, L, D] pair-grid stream states.
+    cand:   [C, M, W] if shared_candidates else [Q, C, M, W].
+    """
+
+    cfg: TextEncoderConfig
+    merge_mlp: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, text_bias, cand, shared_candidates: bool = True,
+                 deterministic: bool = True):
+        h0, h1 = carry
+        cfg = self.cfg
+
+        # --- twin self-attention (separate params, no merge) ---------------
+        def self_branch(name, h):
+            ctx = MultiHeadAttention(
+                cfg.num_heads, cfg.head_dim, cfg.hidden_size, self.dtype,
+                cfg.attention_dropout, name=f"self_attn{name}")(
+                    h, None, text_bias, deterministic=deterministic)
+            ctx = nn.Dropout(cfg.hidden_dropout)(ctx, deterministic=deterministic)
+            return LayerNorm(cfg.layer_norm_eps, self.dtype,
+                             name=f"self_ln{name}")(ctx + h)
+
+        h0 = self_branch("0", h0)
+        h1 = self_branch("1", h1)
+
+        # --- twin cross-attention over candidate image tokens --------------
+        def cross_branch(name, h):
+            q = HeadProjection(cfg.num_heads, cfg.head_dim, self.dtype,
+                               name=f"cross_q{name}")(h)
+            k = HeadProjection(cfg.num_heads, cfg.head_dim, self.dtype,
+                               name=f"cross_k{name}")(cand)
+            v = HeadProjection(cfg.num_heads, cfg.head_dim, self.dtype,
+                               name=f"cross_v{name}")(cand)
+            rng = None
+            if cfg.attention_dropout > 0.0 and not deterministic:
+                rng = self.make_rng("dropout")
+            if shared_candidates:
+                ctx = pair_cross_attention(
+                    q, k, v, None, dropout_rate=cfg.attention_dropout,
+                    dropout_rng=rng, deterministic=deterministic)
+            else:
+                ctx = dot_product_attention(
+                    q, k, v, None, dropout_rate=cfg.attention_dropout,
+                    dropout_rng=rng, deterministic=deterministic)
+            return HeadOutProjection(cfg.hidden_size, self.dtype,
+                                     name=f"cross_dense{name}")(ctx)
+
+        d0 = cross_branch("0", h0)
+        d1 = cross_branch("1", h1)
+        if self.merge_mlp:
+            merged = Dense(cfg.hidden_size, self.dtype, name="merge")(
+                jnp.concatenate([d0, d1], axis=-1))
+        else:
+            merged = (d0 + d1) * 0.5
+        merged = nn.Dropout(cfg.hidden_dropout)(merged, deterministic=deterministic)
+        g0 = LayerNorm(cfg.layer_norm_eps, self.dtype, name="cross_ln0")(merged + h0)
+        g1 = LayerNorm(cfg.layer_norm_eps, self.dtype, name="cross_ln1")(merged + h1)
+
+        # --- shared FFN applied per stream ----------------------------------
+        ffn = BertFFN(cfg, self.dtype, name="ffn")
+        h0 = ffn(g0, deterministic=deterministic)
+        h1 = ffn(g1, deterministic=deterministic)
+        return (h0, h1), None
+
+
+class DualStreamEncoder(nn.Module):
+    """Pair-grid dual-stream encoder.
+
+    Inputs:
+      input_ids, attention_mask: [Q, L]
+      z_t:        [Q, L, D] stage-I fused query states (stream-0 init)
+      cand_feats: [C, M, W] (shared_candidates=True)  or [Q, C, M, W]
+    Output: [Q, C, 2D] concat CLS states of both streams.
+    """
+
+    cfg: TextEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, z_t, cand_feats, *,
+                 shared_candidates: bool = True, deterministic: bool = True):
+        cfg = self.cfg
+        text_emb = BertEmbeddings(cfg, self.dtype, name="embeddings")(
+            input_ids, deterministic=deterministic)
+
+        if shared_candidates:
+            num_cand = cand_feats.shape[0]
+        else:
+            num_cand = cand_feats.shape[1]
+        q, l, d = z_t.shape
+
+        # broadcast both streams across the candidate axis -> [Q, C, L, D]
+        h0 = jnp.broadcast_to(z_t.astype(self.dtype)[:, None], (q, num_cand, l, d))
+        h1 = jnp.broadcast_to(text_emb[:, None], (q, num_cand, l, d))
+        cand_feats = cand_feats.astype(self.dtype)
+
+        # [Q, 1, 1, 1, L] additive bias, broadcast over (C, heads, q_len)
+        text_bias = make_additive_mask(attention_mask, jnp.float32)[:, None]
+
+        n_avg = min(cfg.merge_mlp_from, cfg.num_layers)
+        n_mlp = cfg.num_layers - n_avg
+
+        def stack(name, merge_mlp, length, carry):
+            if length == 0:
+                return carry
+            scanned = nn.scan(
+                DualLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                length=length,
+            )(cfg=cfg, merge_mlp=merge_mlp, dtype=self.dtype, name=name)
+            carry, _ = scanned(carry, text_bias, cand_feats, shared_candidates,
+                               deterministic)
+            return carry
+
+        h0, h1 = stack("layers_avg", False, n_avg, (h0, h1))
+        h0, h1 = stack("layers_mlp", True, n_mlp, (h0, h1))
+
+        return jnp.concatenate([h0[:, :, 0, :], h1[:, :, 0, :]], axis=-1)

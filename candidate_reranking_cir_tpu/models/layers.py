@@ -1,0 +1,159 @@
+"""Shared Flax building blocks.
+
+Parameters are stored in float32; compute runs in ``dtype`` (bfloat16 on TPU by
+default) with float32 layer norms and softmax, mirroring the reference's AMP setup
+(fp32 master weights + autocast) while keeping every matmul MXU-friendly.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from candidate_reranking_cir_tpu.ops.attention import dot_product_attention
+
+Dtype = jnp.dtype
+
+
+class LayerNorm(nn.Module):
+    """Float32 LayerNorm that returns in the compute dtype."""
+
+    eps: float = 1e-12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class Dense(nn.Module):
+    """Linear layer with fp32 params and dtype-cast compute."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        y = jnp.dot(x, kernel.astype(self.dtype),
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class HeadProjection(nn.Module):
+    """[..., D_in] -> [..., heads, head_dim] projection."""
+
+    num_heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.num_heads, self.head_dim),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.num_heads, self.head_dim), jnp.float32)
+        y = jnp.einsum("...d,dhk->...hk", x, kernel.astype(self.dtype),
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        return y + bias.astype(self.dtype)
+
+
+class HeadOutProjection(nn.Module):
+    """[..., heads, head_dim] -> [..., D_out] projection."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.normal(stddev=0.02)
+
+    @nn.compact
+    def __call__(self, x):
+        h, d = x.shape[-2:]
+        kernel = self.param("kernel", self.kernel_init,
+                            (h, d, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = jnp.einsum("...hk,hkd->...d", x, kernel.astype(self.dtype),
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        return y + bias.astype(self.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self- or cross-attention: q from ``x``, k/v from ``y`` (``y=x`` for self).
+
+    Output is the raw multi-head context projected back to ``out_features`` —
+    residual/LayerNorm policy is owned by the calling block (pre-LN for ViT,
+    post-LN for BERT).
+    """
+
+    num_heads: int
+    head_dim: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, y=None, bias=None, *, deterministic: bool = True):
+        y = x if y is None else y
+        q = HeadProjection(self.num_heads, self.head_dim, self.dtype, name="query")(x)
+        k = HeadProjection(self.num_heads, self.head_dim, self.dtype, name="key")(y)
+        v = HeadProjection(self.num_heads, self.head_dim, self.dtype, name="value")(y)
+        rng = None
+        if self.dropout_rate > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        ctx = dot_product_attention(
+            q, k, v, bias,
+            dropout_rate=self.dropout_rate, dropout_rng=rng,
+            deterministic=deterministic)
+        return HeadOutProjection(self.out_features, self.dtype, name="out")(ctx)
+
+
+class Mlp(nn.Module):
+    """Transformer FFN: dense -> GELU -> dense (reference vit.py:23-41 shape)."""
+
+    hidden_features: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+    dropout_rate: float = 0.0
+    # BERT uses erf-based gelu; timm ViT also uses exact gelu
+    approximate_gelu: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        h = Dense(self.hidden_features, self.dtype, name="fc1")(x)
+        h = nn.gelu(h, approximate=self.approximate_gelu)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = Dense(self.out_features, self.dtype, name="fc2")(h)
+        return h
+
+
+class DropPath(nn.Module):
+    """Stochastic depth over the leading (batch) axis (reference timm DropPath)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        keep = jax.random.bernoulli(rng, 1.0 - self.rate, shape)
+        return jnp.where(keep, x / (1.0 - self.rate), 0.0).astype(x.dtype)

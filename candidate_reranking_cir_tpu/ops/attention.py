@@ -1,0 +1,109 @@
+"""Attention compute primitives.
+
+These are the TPU replacements for the reference's per-module torch attention
+(reference vit.py:70-86, med.py:140-240, nlvr_encoder.py:140-222). All variants:
+
+- take/emit ``[..., seq, heads, head_dim]`` tensors (batch dims lead, contraction
+  via einsum so XLA maps them straight onto the MXU),
+- compute the softmax in float32 regardless of the input dtype (matching the
+  reference's fp32-autocast-exempt softmax numerics),
+- use the additive ``(1 - mask) * -10000`` bias convention of the reference
+  (med.py:682) so ported weights score identically.
+
+``pair_cross_attention`` is the TPU-first core of stage-II re-ranking: for a grid of
+(query, candidate) pairs it attends pair states to **shared per-candidate K/V**,
+so candidate key/value projections are computed once per candidate instead of once
+per pair (the reference recomputes them inside a Python loop over queries,
+blip_stage2.py:78-94).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -10000.0  # additive mask value, matches reference med.py:682
+
+
+def make_additive_mask(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[..., kv_len] 1/0 validity mask -> [..., 1, 1, kv_len] additive bias.
+
+    The two broadcast axes are (heads, q_len). Matches reference
+    ``get_extended_attention_mask`` / ``invert_attention_mask`` semantics
+    (med.py:624-683): bias = (1 - mask) * -10000.
+    """
+    bias = (1.0 - mask.astype(jnp.float32)) * NEG_INF
+    return bias[..., None, None, :].astype(dtype)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Multi-head scaled dot-product attention.
+
+    q: [..., Lq, H, D]; k, v: [..., Lk, H, D]; bias broadcastable to
+    [..., H, Lq, Lk]. Returns [..., Lq, H, D] in q.dtype.
+
+    Softmax (and the score accumulation) run in float32; the context matmul runs in
+    the input dtype with fp32 MXU accumulation.
+    """
+    dtype = q.dtype
+    depth = q.shape[-1]
+    scale = depth ** -0.5
+    # [..., H, Lq, Lk] in fp32
+    scores = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores.astype(jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(dtype)
+    out = jnp.einsum("...hqk,...khd->...qhd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def pair_cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Cross-attention over a (query x candidate) pair grid with shared K/V.
+
+    q:    [Q, C, Lq, H, D]   pair states (one per (query, candidate) pair)
+    k, v: [C, Lk, H, D]      per-candidate keys/values, shared across all queries
+    bias: broadcastable to [C, H, Lq, Lk] or None (image tokens are never padded)
+
+    Returns [Q, C, Lq, H, D]. The einsum broadcasts K over the query axis, so the
+    O(C * Lk * width^2) K/V projection cost is paid once per candidate rather than
+    once per pair — the key FLOP saving over the reference's B sequential forwards.
+    """
+    dtype = q.dtype
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("qclhd,ckhd->qchlk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores.astype(jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)[None]
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(dtype)
+    out = jnp.einsum("qchlk,ckhd->qclhd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype)

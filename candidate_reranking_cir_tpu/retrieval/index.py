@@ -1,0 +1,76 @@
+"""Corpus index building — the ``extract_index_features`` equivalent.
+
+The reference iterates a DataLoader and fills fp32 GPU buffers [N, 577, 768] +
+[N, 256] (utils.py:25-72), which drives its ~70 GB VRAM footprint. Here:
+
+- image embedding runs as a fixed-shape jitted program per batch (last batch
+  padded, valid rows masked off on host),
+- raw token features are stored in bfloat16 — half the footprint with no
+  measurable recall change (scores/softmax still fp32),
+- under a multi-chip mesh the batch dim is sharded so every chip embeds its
+  slice of the corpus; results gather to host.
+"""
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def iter_batches(dataset, batch_size: int) -> Iterable[tuple[list[str], np.ndarray]]:
+    """Yield (names, [B, H, W, 3] float32) batches from a 'classic' dataset."""
+    names, images = [], []
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        if sample is None:  # skip_errors dropped a corrupt image
+            continue
+        names.append(sample["name"])
+        images.append(sample["image"])
+        if len(names) == batch_size:
+            yield names, np.stack(images)
+            names, images = [], []
+    if names:
+        yield names, np.stack(images)
+
+
+def build_index(dataset, embed_fn: Callable, batch_size: int = 32, *,
+                pooled: bool = True, feature_dtype=jnp.bfloat16):
+    """Embed the whole corpus.
+
+    embed_fn: [B, H, W, 3] -> raw [B, M, D] or (raw, pooled[B, E]) jitted fn
+    (fixed B — short batches are padded then trimmed).
+
+    Returns (raw [N, M, D] feature_dtype on device, pooled [N, E] fp32 or None,
+    names list).
+    """
+    raw_chunks, pooled_chunks, names_all = [], [], []
+    for names, images in iter_batches(dataset, batch_size):
+        valid = len(names)
+        if valid < batch_size:  # pad to the compiled shape
+            pad = np.zeros((batch_size - valid, *images.shape[1:]),
+                           images.dtype)
+            images = np.concatenate([images, pad])
+        out = embed_fn(images)
+        if pooled:
+            raw, pool = out
+            pooled_chunks.append(np.asarray(pool[:valid], dtype=np.float32))
+        else:
+            raw = out
+        raw_chunks.append(np.asarray(raw[:valid].astype(feature_dtype)))
+        names_all.extend(names)
+
+    raw_all = jnp.asarray(np.concatenate(raw_chunks))
+    pooled_all = (jnp.asarray(np.concatenate(pooled_chunks))
+                  if pooled else None)
+    return raw_all, pooled_all, names_all
+
+
+def gather_features(index_feats, names: list[str],
+                    wanted: list[str]) -> jax.Array:
+    """Look up rows of the index by name (the reference's name_to_feat dict,
+    validate.py:121) as one device-side take."""
+    pos = {n: i for i, n in enumerate(names)}
+    idx = np.asarray([pos[w] for w in wanted], dtype=np.int32)
+    return jnp.take(index_feats, jnp.asarray(idx), axis=0)

@@ -1,0 +1,338 @@
+"""PyTorch -> JAX weight conversion.
+
+Maps the reference's checkpoint trees (BLIP `.pth` pretrains and the repo's
+trained `.pt` files, formats at utils.py:146-150 / blip.py:215-237) onto this
+framework's parameter pytrees. Key structural translations:
+
+- torch ``Linear.weight`` [out, in] -> dense kernel [in, out] (transpose);
+  multi-head projections additionally reshape to [in, heads, head_dim] /
+  [heads, head_dim, out],
+- timm patch-embed conv [D, 3, P, P] -> space-to-depth dense [P*P*3, D],
+- per-layer module lists -> a stacked leading layer axis (nn.scan layout),
+- BLIP pos-embed interpolation for image-size mismatches (vit.py:281-305)
+  via jax.image bicubic resize,
+- the stage-II dual-stream duplication contract (blip_stage2.py:160-187):
+  single-stream pretrain weights are copied into both streams' slots
+  (self0/self1, dense0/dense1, LayerNormA/B) when loading a BLIP base
+  checkpoint; trained stage-II checkpoints carry the twin keys directly.
+
+Input is a flat {key: numpy array} dict — produced by ``load_torch_state``
+(torch-cpu) so no torch dependency leaks past this module.
+"""
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# torch file reading
+
+
+def load_torch_state(path: str) -> dict[str, np.ndarray]:
+    """Read a torch checkpoint into {key: np.ndarray}. Handles the reference's
+    wrappers: {'model': sd} (BLIP pretrain) and {'<ClassName>': sd, 'epoch',
+    'optimizer_state_dict'} (reference save_model, utils.py:146-150)."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict):
+        for key in ("model", "BLIP_Retrieval", "BLIP_NLVR"):
+            if key in raw and isinstance(raw[key], dict):
+                raw = raw[key]
+                break
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+            for k, v in raw.items() if hasattr(v, "shape")}
+
+
+# ---------------------------------------------------------------------------
+# primitives
+
+
+def _dense(sd, prefix, out=None):
+    w = sd[f"{prefix}.weight"]
+    p = {"kernel": np.ascontiguousarray(w.T)}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _head_proj(sd, prefix, heads):
+    """Linear [all_head, in] -> HeadProjection [in, heads, head_dim]."""
+    w = sd[f"{prefix}.weight"]
+    out_dim, in_dim = w.shape
+    k = np.ascontiguousarray(w.T).reshape(in_dim, heads, out_dim // heads)
+    b = sd[f"{prefix}.bias"].reshape(heads, out_dim // heads)
+    return {"kernel": k, "bias": b}
+
+
+def _head_out(sd, prefix, heads):
+    """Linear [out, all_head] -> HeadOutProjection [heads, head_dim, out]."""
+    w = sd[f"{prefix}.weight"]
+    out_dim, in_dim = w.shape
+    k = np.ascontiguousarray(w.T).reshape(heads, in_dim // heads, out_dim)
+    return {"kernel": k, "bias": sd[f"{prefix}.bias"]}
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _stack(dicts: list[dict]) -> dict:
+    """List of per-layer param dicts -> one dict with stacked leaves."""
+    out = {}
+    for key in dicts[0]:
+        if isinstance(dicts[0][key], Mapping) or isinstance(dicts[0][key], dict):
+            out[key] = _stack([d[key] for d in dicts])
+        else:
+            out[key] = np.stack([d[key] for d in dicts])
+    return out
+
+
+def interpolate_pos_embed(pos: np.ndarray, num_patches: int) -> np.ndarray:
+    """Bicubic-resize checkpoint position embeddings to a new grid
+    (reference vit.py:281-305). pos: [1, 1 + old_patches, D]."""
+    old = pos.shape[1] - 1
+    if old == num_patches:
+        return pos
+    import jax
+
+    dim = pos.shape[-1]
+    old_size, new_size = int(old ** 0.5), int(num_patches ** 0.5)
+    extra, grid = pos[:, :1], pos[:, 1:]
+    grid = grid.reshape(1, old_size, old_size, dim)
+    grid = np.asarray(jax.image.resize(
+        jax.numpy.asarray(grid), (1, new_size, new_size, dim), "bicubic"))
+    grid = grid.reshape(1, new_size * new_size, dim)
+    return np.concatenate([extra, grid], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# module converters
+
+
+def convert_vit(sd: dict, prefix: str, num_layers: int, num_heads: int,
+                num_patches: int) -> dict:
+    """torch ViT subtree -> VisionTransformer params."""
+    g = lambda k: sd[f"{prefix}.{k}"]
+    conv_w = g("patch_embed.proj.weight")  # [D, 3, P, P]
+    d_model = conv_w.shape[0]
+    kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, d_model)
+    patch = {"proj": {"kernel": np.ascontiguousarray(kernel),
+                      "bias": g("patch_embed.proj.bias")}}
+
+    layers = []
+    for i in range(num_layers):
+        p = f"{prefix}.blocks.{i}"
+        qkv_w = sd[f"{p}.attn.qkv.weight"]      # [3D, D]
+        qkv_b = sd[f"{p}.attn.qkv.bias"]
+        d3 = qkv_w.shape[0] // 3
+        heads, hd = num_heads, d3 // num_heads
+
+        def split(part_w, part_b):
+            return {"kernel": np.ascontiguousarray(part_w.T).reshape(
+                        part_w.shape[1], heads, hd),
+                    "bias": part_b.reshape(heads, hd)}
+
+        attn = {
+            "query": split(qkv_w[:d3], qkv_b[:d3]),
+            "key": split(qkv_w[d3:2 * d3], qkv_b[d3:2 * d3]),
+            "value": split(qkv_w[2 * d3:], qkv_b[2 * d3:]),
+            "out": _head_out(sd, f"{p}.attn.proj", heads),
+        }
+        layers.append({
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "attn": attn,
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "mlp": {"fc1": _dense(sd, f"{p}.mlp.fc1"),
+                    "fc2": _dense(sd, f"{p}.mlp.fc2")},
+        })
+
+    return {
+        "patch_embed": patch,
+        "cls_token": g("cls_token"),
+        "pos_embed": interpolate_pos_embed(g("pos_embed"), num_patches),
+        "blocks": _stack(layers),
+        "norm": _ln(sd, f"{prefix}.norm"),
+    }
+
+
+def convert_med(sd: dict, prefix: str, num_layers: int, num_heads: int,
+                multimodal: bool = True) -> dict:
+    """torch MED BertModel subtree -> TextEncoder params."""
+    emb = {
+        "word_embeddings": sd[f"{prefix}.embeddings.word_embeddings.weight"],
+        "position_embeddings":
+            sd[f"{prefix}.embeddings.position_embeddings.weight"],
+        "ln": _ln(sd, f"{prefix}.embeddings.LayerNorm"),
+    }
+    layers = []
+    for i in range(num_layers):
+        p = f"{prefix}.encoder.layer.{i}"
+        layer = {
+            "self_attn": {
+                "attn": {
+                    "query": _head_proj(sd, f"{p}.attention.self.query",
+                                        num_heads),
+                    "key": _head_proj(sd, f"{p}.attention.self.key", num_heads),
+                    "value": _head_proj(sd, f"{p}.attention.self.value",
+                                        num_heads),
+                    "out": _head_out(sd, f"{p}.attention.output.dense",
+                                     num_heads),
+                },
+                "ln": _ln(sd, f"{p}.attention.output.LayerNorm"),
+            },
+            "ffn": {
+                "intermediate": _dense(sd, f"{p}.intermediate.dense"),
+                "output": _dense(sd, f"{p}.output.dense"),
+                "ln": _ln(sd, f"{p}.output.LayerNorm"),
+            },
+        }
+        if multimodal:
+            layer["cross_attn"] = {
+                "attn": {
+                    "query": _head_proj(sd, f"{p}.crossattention.self.query",
+                                        num_heads),
+                    "key": _head_proj(sd, f"{p}.crossattention.self.key",
+                                      num_heads),
+                    "value": _head_proj(sd, f"{p}.crossattention.self.value",
+                                        num_heads),
+                    "out": _head_out(sd, f"{p}.crossattention.output.dense",
+                                     num_heads),
+                },
+                "ln": _ln(sd, f"{p}.crossattention.output.LayerNorm"),
+            }
+        layers.append(layer)
+    return {"embeddings": emb, "layers": _stack(layers)}
+
+
+def duplicate_for_dual_stream(sd: dict) -> dict:
+    """Apply the reference's single->dual stream key duplication
+    (blip_stage2.py:160-187) to a flat torch state dict."""
+    out = dict(sd)
+    for key in list(sd.keys()):
+        if "crossattention.self." in key or "attention.self." in key:
+            out[key.replace(".self.", ".self0.")] = sd[key]
+            out[key.replace(".self.", ".self1.")] = sd[key]
+        elif ("crossattention.output.dense." in key
+              or "attention.output.dense." in key):
+            out[key.replace(".dense.", ".dense0.")] = sd[key]
+            out[key.replace(".dense.", ".dense1.")] = sd[key]
+        if "output.LayerNorm" in key and "attention" in key:
+            out[key.replace("LayerNorm", "LayerNormA")] = sd[key]
+            out[key.replace("LayerNorm", "LayerNormB")] = sd[key]
+    return out
+
+
+def convert_dual_encoder(sd: dict, prefix: str, num_layers: int,
+                         num_heads: int, merge_mlp_from: int,
+                         hidden_size: int) -> dict:
+    """torch dual-stream BertModel subtree -> DualStreamEncoder params.
+
+    If the state dict lacks twin keys (a single-stream BLIP pretrain), the
+    duplication contract is applied first. Missing merge_layer weights (layers
+    >= merge_mlp_from in a fresh pretrain) are zero-initialized <- the
+    reference leaves them randomly initialized via strict=False loading; zero
+    init here makes the merged output start at 0 (a cleaner neutral start) and
+    is irrelevant when loading trained stage-II checkpoints, which carry them.
+    """
+    probe = f"{prefix}.encoder.layer.0.attention.self0.query.weight"
+    if probe not in sd:
+        sd = duplicate_for_dual_stream(sd)
+
+    emb = {
+        "word_embeddings": sd[f"{prefix}.embeddings.word_embeddings.weight"],
+        "position_embeddings":
+            sd[f"{prefix}.embeddings.position_embeddings.weight"],
+        "ln": _ln(sd, f"{prefix}.embeddings.LayerNorm"),
+    }
+
+    def layer_params(i: int, merge_mlp: bool) -> dict:
+        p = f"{prefix}.encoder.layer.{i}"
+        layer = {}
+        for s in ("0", "1"):
+            layer[f"self_attn{s}"] = {
+                "query": _head_proj(sd, f"{p}.attention.self{s}.query",
+                                    num_heads),
+                "key": _head_proj(sd, f"{p}.attention.self{s}.key", num_heads),
+                "value": _head_proj(sd, f"{p}.attention.self{s}.value",
+                                    num_heads),
+                "out": _head_out(sd, f"{p}.attention.output.dense{s}",
+                                 num_heads),
+            }
+            layer[f"cross_q{s}"] = _head_proj(
+                sd, f"{p}.crossattention.self{s}.query", num_heads)
+            layer[f"cross_k{s}"] = _head_proj(
+                sd, f"{p}.crossattention.self{s}.key", num_heads)
+            layer[f"cross_v{s}"] = _head_proj(
+                sd, f"{p}.crossattention.self{s}.value", num_heads)
+            layer[f"cross_dense{s}"] = _head_out(
+                sd, f"{p}.crossattention.output.dense{s}", num_heads)
+        layer["self_ln0"] = _ln(sd, f"{p}.attention.output.LayerNormA")
+        layer["self_ln1"] = _ln(sd, f"{p}.attention.output.LayerNormB")
+        layer["cross_ln0"] = _ln(sd, f"{p}.crossattention.output.LayerNormA")
+        layer["cross_ln1"] = _ln(sd, f"{p}.crossattention.output.LayerNormB")
+        if merge_mlp:
+            mk = f"{p}.crossattention.output.merge_layer.weight"
+            if mk in sd:
+                layer["merge"] = _dense(sd, f"{p}.crossattention.output."
+                                            "merge_layer")
+            else:
+                layer["merge"] = {
+                    "kernel": np.zeros((2 * hidden_size, hidden_size),
+                                       np.float32),
+                    "bias": np.zeros((hidden_size,), np.float32),
+                }
+        layer["ffn"] = {
+            "intermediate": _dense(sd, f"{p}.intermediate.dense"),
+            "output": _dense(sd, f"{p}.output.dense"),
+            "ln": _ln(sd, f"{p}.output.LayerNorm"),
+        }
+        return layer
+
+    n_avg = min(merge_mlp_from, num_layers)
+    out = {"embeddings": emb}
+    if n_avg:
+        out["layers_avg"] = _stack(
+            [layer_params(i, False) for i in range(n_avg)])
+    if num_layers - n_avg:
+        out["layers_mlp"] = _stack(
+            [layer_params(i, True) for i in range(n_avg, num_layers)])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# full models
+
+
+def convert_stage1(sd: dict, cfg) -> dict:
+    """Flat torch BLIP_Retrieval state dict -> RetrievalModel params."""
+    params = {
+        "visual_encoder": convert_vit(
+            sd, "visual_encoder", cfg.vit.num_layers, cfg.vit.num_heads,
+            cfg.vit.num_patches),
+        "text_encoder": convert_med(
+            sd, "text_encoder", cfg.text.num_layers, cfg.text.num_heads),
+        "vision_proj": _dense(sd, "vision_proj"),
+        "text_proj": _dense(sd, "text_proj"),
+        "temp": np.asarray(sd["temp"], np.float32).reshape(()),
+    }
+    return {"params": params}
+
+
+def convert_stage2(sd: dict, cfg) -> dict:
+    """Flat torch BLIP_NLVR state dict -> RerankerModel params."""
+    params = {
+        "visual_encoder": convert_vit(
+            sd, "visual_encoder", cfg.vit.num_layers, cfg.vit.num_heads,
+            cfg.vit.num_patches),
+        "text_encoder": convert_dual_encoder(
+            sd, "text_encoder", cfg.text.num_layers, cfg.text.num_heads,
+            cfg.text.merge_mlp_from, cfg.text.hidden_size),
+        "cls_dense1": _dense(sd, "cls_head.0"),
+        "cls_dense2": _dense(sd, "cls_head.2"),
+    }
+    return {"params": params}

@@ -1,0 +1,49 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; jax's host-platform device-count
+override is the TPU equivalent of a fake backend (SURVEY.md section 4). Must run
+before jax initializes its backends.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's TPU platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# the container's sitecustomize imports jax at interpreter start, capturing
+# JAX_PLATFORMS before this file runs — override programmatically too
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_text_cfg():
+    from candidate_reranking_cir_tpu.config import TextEncoderConfig
+
+    return TextEncoderConfig(
+        vocab_size=128, hidden_size=32, num_layers=4, num_heads=4,
+        intermediate_size=64, max_position_embeddings=64, encoder_width=24,
+        hidden_dropout=0.0, attention_dropout=0.0, merge_mlp_from=2)
+
+
+@pytest.fixture(scope="session")
+def tiny_vit_cfg():
+    from candidate_reranking_cir_tpu.config import ViTConfig
+
+    return ViTConfig(image_size=32, patch_size=8, hidden_size=24, num_layers=2,
+                     num_heads=4)

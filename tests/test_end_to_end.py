@@ -1,0 +1,221 @@
+"""End-to-end pipeline test on a synthetic CIRR-format dataset:
+stage-I validation -> top-k artifact -> stage-II re-rank evaluation.
+
+Exercises dataset parsing, PIL preprocessing, index building, query fusion,
+ranking/metrics, top-k IO, and the batched re-rank engine on tiny models.
+"""
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from candidate_reranking_cir_tpu.config import (
+    RerankerModelConfig,
+    RetrievalModelConfig,
+    TextEncoderConfig,
+    ViTConfig,
+)
+from candidate_reranking_cir_tpu.data.datasets import CIRRDataset
+from candidate_reranking_cir_tpu.data.preprocessing import make_transform
+from candidate_reranking_cir_tpu.data.topk_io import (
+    load_topk_file,
+    save_topk_file,
+)
+from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
+from candidate_reranking_cir_tpu.models.tokenizer import (
+    WordPieceTokenizer,
+    build_test_vocab,
+)
+from candidate_reranking_cir_tpu.retrieval import metrics as M
+from candidate_reranking_cir_tpu.retrieval.index import build_index
+from candidate_reranking_cir_tpu.retrieval.rerank import rerank
+from candidate_reranking_cir_tpu.retrieval.validate_engine import (
+    evaluate_cirr_stage1,
+)
+
+N_IMAGES = 12
+N_QUERIES = 6
+IMG = 32
+
+VIT = ViTConfig(image_size=IMG, patch_size=8, hidden_size=24, num_layers=2,
+                num_heads=4)
+TEXT = TextEncoderConfig(vocab_size=256, hidden_size=24, num_layers=2,
+                         num_heads=4, intermediate_size=48, encoder_width=24,
+                         hidden_dropout=0.0, attention_dropout=0.0,
+                         merge_mlp_from=1)
+
+
+@pytest.fixture(scope="module")
+def cirr_root(tmp_path_factory):
+    """Fake CIRR dataset: 12 jpegs, 6 val triplets with 6-member groups."""
+    import PIL.Image
+
+    root = tmp_path_factory.mktemp("data")
+    base = root / "cirr_dataset"
+    (base / "cirr" / "captions").mkdir(parents=True)
+    (base / "cirr" / "image_splits").mkdir(parents=True)
+    (base / "img").mkdir()
+
+    rng = np.random.default_rng(0)
+    names = [f"im{i}" for i in range(N_IMAGES)]
+    relpath = {}
+    for i, name in enumerate(names):
+        arr = rng.integers(0, 255, size=(40 + i, 30 + 2 * i, 3),
+                           dtype=np.uint8)
+        p = base / "img" / f"{name}.jpg"
+        PIL.Image.fromarray(arr).save(p, quality=92)
+        relpath[name] = f"img/{name}.jpg"
+
+    triplets = []
+    for q in range(N_QUERIES):
+        ref = names[q]
+        tgt = names[(q + 3) % N_IMAGES]
+        members = [ref, tgt] + [names[(q + 5 + j) % N_IMAGES] for j in
+                                range(4)]
+        triplets.append({
+            "pairid": q,
+            "reference": ref,
+            "target_hard": tgt,
+            "caption": f"the dress is red and blue {q}",
+            "img_set": {"members": members},
+        })
+
+    with open(base / "cirr" / "captions" / "cap.rc2.val.json", "w") as f:
+        json.dump(triplets, f)
+    with open(base / "cirr" / "image_splits" / "split.rc2.val.json", "w") as f:
+        json.dump(relpath, f)
+    return root
+
+
+@pytest.fixture(scope="module")
+def models():
+    s1_cfg = RetrievalModelConfig(vit=VIT, text=TEXT, embed_dim=16, text_len=10)
+    s2_cfg = RerankerModelConfig(vit=VIT, text=TEXT, text_len=10)
+    s1 = RetrievalModel(s1_cfg)
+    s2 = RerankerModel(s2_cfg)
+    imgs = np.zeros((2, IMG, IMG, 3), np.float32)
+    ids = np.ones((2, 10), np.int32)
+    msk = np.ones((2, 10), np.int32)
+    z = np.zeros((2, 10, 24), np.float32)
+    s1_params = s1.init(jax.random.key(0), imgs, ids, msk)
+    s2_params = s2.init(jax.random.key(1), imgs, ids, msk, z)
+    return s1, s1_params, s2, s2_params
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return WordPieceTokenizer(build_test_vocab())
+
+
+def test_dataset_parsing(cirr_root):
+    transform = make_transform("targetpad", IMG, 1.25)
+    classic = CIRRDataset(cirr_root, "val", "classic", transform)
+    assert len(classic) == N_IMAGES
+    s = classic[0]
+    assert s["image"].shape == (IMG, IMG, 3)
+    # CLIP normalization: values roughly in [-2.2, 2.7]
+    assert -3 < s["image"].min() and s["image"].max() < 3
+
+    relative = CIRRDataset(cirr_root, "val", "relative", transform)
+    assert len(relative) == N_QUERIES
+    q = relative[0]
+    assert q["reference_name"] == "im0" and q["target_name"] == "im3"
+    assert len(q["group_members"]) == 6
+
+
+def test_stage1_eval_and_topk_roundtrip(cirr_root, models, tokenizer,
+                                        tmp_path):
+    s1, s1_params, _, _ = models
+    transform = make_transform("targetpad", IMG, 1.25)
+    classic = CIRRDataset(cirr_root, "val", "classic", transform)
+    relative = CIRRDataset(cirr_root, "val", "relative", transform)
+
+    result, payload = evaluate_cirr_stage1(
+        s1, s1_params, classic, relative, tokenizer, text_len=10,
+        batch_size=4, save_topk_k=8)
+
+    mets = result.metrics
+    # random model: sane recall bounds and monotonicity
+    assert 0 <= mets["recall_at1"] <= mets["recall_at5"] <= \
+        mets["recall_at10"] <= 100
+    # group recall@3 over 5 members with random scores ~ around 60;
+    # exact-one-hot asserts inside guarantee correctness of labels
+    assert 0 <= mets["group_recall_at1"] <= mets["group_recall_at3"] <= 100
+    assert payload["sorted_index_names"].shape == (N_QUERIES, 8)
+    assert payload["labels"].shape == (N_QUERIES, 8)
+    assert payload["group_labels"].shape == (N_QUERIES, 5)
+
+    # roundtrip npz AND torch .pt interop
+    for name in ("topk.npz", "topk.pt"):
+        path = tmp_path / name
+        save_topk_file(path, payload)
+        loaded = load_topk_file(path)
+        assert loaded["split"] == "val"
+        np.testing.assert_array_equal(
+            np.asarray(loaded["labels"], bool), payload["labels"])
+        assert ([str(x) for x in loaded["sorted_index_names"][0]]
+                == [str(x) for x in payload["sorted_index_names"][0]])
+
+
+def test_stage2_rerank_end_to_end(cirr_root, models, tokenizer, tmp_path):
+    s1, s1_params, s2, s2_params = models
+    transform = make_transform("targetpad", IMG, 1.25)
+    classic = CIRRDataset(cirr_root, "val", "classic", transform)
+    relative = CIRRDataset(cirr_root, "val", "relative", transform)
+
+    # stage-I top-k
+    _, payload = evaluate_cirr_stage1(
+        s1, s1_params, classic, relative, tokenizer, text_len=10,
+        batch_size=4, save_topk_k=8)
+    topk_path = tmp_path / "topk.npz"
+    payload["split"] = "val"
+    save_topk_file(topk_path, payload)
+
+    k = 4
+    relative_k = CIRRDataset(cirr_root, "val", "relative", transform,
+                             load_topk=topk_path, k=k)
+    samples = [relative_k[i] for i in range(len(relative_k))]
+    captions = [s["caption"] for s in samples]
+    refs = [s["reference_name"] for s in samples]
+    targets = [s["target_name"] for s in samples]
+    groups = [s["group_members"] for s in samples]
+    topk_names = np.stack([np.asarray(s["topk_names"]) for s in samples])
+    topk_labels = np.stack([s["topk_labels"] for s in samples])
+
+    # stage-II index with the stage-II ViT
+    import jax.numpy as jnp
+
+    @jax.jit
+    def embed(images):
+        return s2.apply(s2_params, images, method=RerankerModel.embed_images)
+
+    raw, _, index_names = build_index(classic, embed, 4, pooled=False)
+
+    skip = ~topk_labels.any(axis=1)
+    out = rerank(s1, s1_params, s2, s2_params, tokenizer,
+                 captions=captions, reference_names=refs,
+                 topk_names=topk_names, index_feats=raw,
+                 index_names=index_names, text_len=10, q_batch=4,
+                 skip_mask=skip, group_members=groups)
+
+    assert out.logits.shape == (N_QUERIES, k)
+    assert out.group_logits.shape == (N_QUERIES, 5)
+    # skipped rows carry the sentinel
+    if skip.any():
+        assert (out.logits[skip] < -90000).all()
+
+    labels2 = M.reranked_labels(topk_labels, out.order)
+    assert labels2.shape == (N_QUERIES, k)
+    # a query whose target was in top-k still has exactly one positive
+    np.testing.assert_array_equal(labels2.sum(1), topk_labels.sum(1))
+
+    # group labels: one positive each (target always among the 5 non-ref)
+    from candidate_reranking_cir_tpu.retrieval.rerank import cirr_group_labels
+
+    members_no_ref = [[m for m in g if m != r][:5]
+                      for g, r in zip(groups, refs)]
+    glabels = cirr_group_labels(members_no_ref, out.group_order, targets)
+    np.testing.assert_array_equal(glabels.sum(1), np.ones(N_QUERIES))

@@ -1,0 +1,163 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded train steps,
+global contrastive equivalence, sharded top-k."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from candidate_reranking_cir_tpu.config import (
+    RerankerModelConfig,
+    RetrievalModelConfig,
+    TextEncoderConfig,
+    TrainConfig,
+    ViTConfig,
+)
+from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
+from candidate_reranking_cir_tpu.ops.topk import cosine_topk, sharded_cosine_topk
+from candidate_reranking_cir_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+)
+from candidate_reranking_cir_tpu.runtime.optim import make_optimizer
+from candidate_reranking_cir_tpu.runtime.train_steps import (
+    TrainState,
+    make_stage1_train_step,
+    make_stage2_train_step,
+)
+
+VIT = ViTConfig(image_size=16, patch_size=8, hidden_size=16, num_layers=2,
+                num_heads=2)
+TEXT = TextEncoderConfig(vocab_size=64, hidden_size=16, num_layers=2,
+                         num_heads=2, intermediate_size=32, encoder_width=16,
+                         merge_mlp_from=1)
+S1 = RetrievalModelConfig(vit=VIT, text=TEXT, embed_dim=8, text_len=6)
+S2 = RerankerModelConfig(vit=VIT, text=TEXT, text_len=6)
+
+
+def _stage1_batch(b, rng):
+    return {
+        "ref_images": rng.normal(size=(b, 16, 16, 3)).astype(np.float32),
+        "target_images": rng.normal(size=(b, 16, 16, 3)).astype(np.float32),
+        "input_ids": rng.integers(4, 60, size=(b, 6)).astype(np.int32),
+        "attention_mask": np.ones((b, 6), np.int32),
+    }
+
+
+def test_eight_devices_present():
+    assert jax.device_count() == 8
+
+
+def test_stage1_train_step_sharded():
+    mesh = make_mesh()
+    model = RetrievalModel(S1)
+    rng = np.random.default_rng(0)
+    batch = _stage1_batch(16, rng)
+    params = model.init(jax.random.key(0), batch["ref_images"],
+                        batch["input_ids"], batch["attention_mask"])
+    tx, _ = make_optimizer(TrainConfig(), params, steps_per_epoch=10,
+                           freeze_prefixes=("params/visual_encoder",))
+    state = TrainState.create(params, tx)
+
+    with jax.set_mesh(mesh):
+        rep = replicated(mesh)
+        state = jax.device_put(state, rep)
+        sharded = shard_batch(mesh, batch)
+        step = make_stage1_train_step(model, donate=False)
+        new_state, loss = step(state, sharded, jax.random.key(1))
+        assert np.isfinite(float(loss))
+        assert int(new_state.step) == 1
+
+        # frozen ViT must not move
+        old_v = jax.tree.leaves(state.params["params"]["visual_encoder"])
+        new_v = jax.tree.leaves(new_state.params["params"]["visual_encoder"])
+        for a, b in zip(old_v, new_v):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # text encoder must move
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(state.params["params"]["text_encoder"]),
+                jax.tree.leaves(new_state.params["params"]["text_encoder"])))
+        assert moved
+
+
+def test_stage1_global_contrast_matches_single_device():
+    """Sharded loss == single-device loss on identical inputs (the global-batch
+    contrast is exact, not an approximation)."""
+    from candidate_reranking_cir_tpu.runtime.train_steps import stage1_loss
+
+    model = RetrievalModel(S1)
+    rng = np.random.default_rng(1)
+    batch = _stage1_batch(8, rng)
+    params = model.init(jax.random.key(0), batch["ref_images"],
+                        batch["input_ids"], batch["attention_mask"])
+
+    loss_single, _ = jax.jit(
+        lambda p, b: stage1_loss(model, p, b, None, finetune_vit=False,
+                                 train=False))(params, batch)
+
+    mesh = make_mesh()
+    with jax.set_mesh(mesh):
+        sharded = shard_batch(mesh, batch)
+        params_r = jax.device_put(params, replicated(mesh))
+        loss_sharded, _ = jax.jit(
+            lambda p, b: stage1_loss(model, p, b, None, finetune_vit=False,
+                                     train=False))(params_r, sharded)
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded),
+                               rtol=2e-5)
+
+
+def test_stage2_train_step_sharded():
+    mesh = make_mesh()
+    s1 = RetrievalModel(S1)
+    s2 = RerankerModel(S2)
+    rng = np.random.default_rng(2)
+    b = 8
+    batch = _stage1_batch(b, rng)
+    s1_params = s1.init(jax.random.key(0), batch["ref_images"],
+                        batch["input_ids"], batch["attention_mask"])
+    z_t_dummy = jnp.ones((b, 6, TEXT.hidden_size))
+    s2_params = s2.init(jax.random.key(1), batch["target_images"],
+                        batch["input_ids"], batch["attention_mask"], z_t_dummy)
+    tx, _ = make_optimizer(TrainConfig(), s2_params, steps_per_epoch=10)
+    state = TrainState.create(s2_params, tx)
+
+    with jax.set_mesh(mesh):
+        state = jax.device_put(state, replicated(mesh))
+        s1_params = jax.device_put(s1_params, replicated(mesh))
+        sharded = shard_batch(mesh, batch)
+        step = make_stage2_train_step(s1, s2, donate=False)
+        new_state, loss = step(state, s1_params, sharded, jax.random.key(3))
+        assert np.isfinite(float(loss))
+        assert int(new_state.step) == 1
+
+
+def test_sharded_topk_matches_global():
+    rng = np.random.default_rng(3)
+    n, e, k, q = 64, 16, 5, 4
+    pred = rng.normal(size=(q, e)).astype(np.float32)
+    index = rng.normal(size=(n, e)).astype(np.float32)
+
+    ref_scores, ref_idx = jax.jit(lambda p, i: cosine_topk(p, i, k))(pred, index)
+
+    mesh = make_mesh()
+    shard_n = n // 8
+
+    def shard_fn(pred, index_shard):
+        dev = jax.lax.axis_index("data")
+        return sharded_cosine_topk(pred, index_shard, k, "data",
+                                   dev * shard_n)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("data", None)),
+        out_specs=(P(), P()), check_vma=False)
+    scores, idx = fn(pred, index)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
