@@ -1,0 +1,102 @@
+"""Stage-I CIRR test1 submission CLI (reference cirr_test_submission.py).
+
+Generates recall_submission_<name>.json (top-50 global, reference removed)
+and recall_subset_submission_<name>.json (top-3 of each 6-image group),
+optionally saving a test1 top-k file for stage-II re-ranking.
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from candidate_reranking_cir_tpu.cli.common import (
+    add_common_flags,
+    build_stage1,
+    get_tokenizer,
+    get_transform,
+    load_params,
+)
+from candidate_reranking_cir_tpu.data.datasets import CIRRDataset
+from candidate_reranking_cir_tpu.data.topk_io import save_topk_file
+from candidate_reranking_cir_tpu.retrieval.submission import (
+    build_submissions,
+    write_submissions,
+)
+from candidate_reranking_cir_tpu.retrieval.topk_writer import (
+    test1_topk_payload,
+)
+from candidate_reranking_cir_tpu.retrieval.validate_engine import (
+    full_ranking,
+    make_stage1_fns,
+    predict_queries,
+)
+from candidate_reranking_cir_tpu.retrieval import metrics as M
+from candidate_reranking_cir_tpu.retrieval.index import build_index
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    add_common_flags(parser)
+    parser.add_argument("--stage1-path", type=str, required=True)
+    parser.add_argument("--submission-name", type=str, required=True)
+    parser.add_argument("--out-dir", type=str, default="submission/CIRR")
+    parser.add_argument("--save-topk", action="store_true")
+    parser.add_argument("--k", type=int, default=50)
+    parser.add_argument("--topk-out", type=str, default="")
+    parser.add_argument("--batch-size", type=int, default=32)
+    args = parser.parse_args(argv)
+    assert args.dataset.lower() == "cirr"
+
+    model, cfg = build_stage1(args)
+    params = load_params(args.stage1_path, 1, cfg)
+    tokenizer = get_tokenizer(args)
+    transform = get_transform(args)
+
+    classic = CIRRDataset(args.data_root, "test1", "classic", transform)
+    relative = CIRRDataset(args.data_root, "test1", "relative", transform)
+
+    embed, fuse = make_stage1_fns(model, params)
+    raw, pooled, index_names = build_index(classic, embed, args.batch_size,
+                                           pooled=True)
+
+    pair_ids, refs, captions, groups = [], [], [], []
+    for i in range(len(relative)):
+        s = relative[i]
+        pair_ids.append(s["pair_id"])
+        refs.append(s["reference_name"])
+        captions.append(s["caption"])
+        groups.append(s["group_members"])
+
+    pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
+                           args.text_len, args.batch_size)
+    sorted_idx = full_ranking(pred, pooled)
+    names_sorted = M.rank_names(sorted_idx, index_names)
+
+    # remove the reference image from each row (cirr_test_submission.py:55-58)
+    refs_col = np.asarray(refs, dtype=object)[:, None]
+    keep = names_sorted != refs_col
+    n_q, n_idx = names_sorted.shape
+    names_wo_ref = names_sorted[keep].reshape(n_q, n_idx - 1)
+
+    # subset ranking: order of each query's group members within the global
+    # ranking (cirr_test_submission.py:60-66)
+    members = np.asarray(groups, dtype=object)
+    group_mask = (names_wo_ref[..., None] == members[:, None, :]).sum(-1) > 0
+    group_sorted = names_wo_ref[group_mask].reshape(n_q, -1)
+
+    submission, group_submission = build_submissions(pair_ids, names_wo_ref,
+                                                     group_sorted)
+    p1, p2 = write_submissions(args.out_dir, args.submission_name, submission,
+                               group_submission)
+    print(f"submissions saved at {p1} and {p2}")
+
+    if args.save_topk:
+        payload = test1_topk_payload(names_wo_ref, index_names, args.k)
+        out = args.topk_out or f"cirr_top_{args.k}_test1.npz"
+        save_topk_file(out, payload)
+        print(f"top {args.k} saved at {out}.")
+
+
+if __name__ == "__main__":
+    main()

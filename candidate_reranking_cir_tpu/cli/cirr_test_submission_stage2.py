@@ -1,0 +1,96 @@
+"""Stage-II CIRR test1 submission CLI (reference cirr_test_submission_stage2.py).
+
+Global ranking = the test1 top-k file's K candidate names re-sorted by
+re-ranker score (cirr_test_submission_stage2.py:93-106); subset ranking =
+the 5 non-reference group members re-scored with the same model.
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from candidate_reranking_cir_tpu.cli.common import (
+    add_common_flags,
+    build_stage1,
+    build_stage2,
+    get_tokenizer,
+    get_transform,
+    load_params,
+)
+from candidate_reranking_cir_tpu.data.datasets import CIRRDataset
+from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+from candidate_reranking_cir_tpu.retrieval.index import build_index
+from candidate_reranking_cir_tpu.retrieval.rerank import rerank
+from candidate_reranking_cir_tpu.retrieval.submission import (
+    build_submissions,
+    write_submissions,
+)
+
+import jax
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    add_common_flags(parser)
+    parser.add_argument("--stage1-path", type=str, required=True)
+    parser.add_argument("--stage2-path", type=str, required=True)
+    parser.add_argument("--top-k-path", type=str, required=True,
+                        help="test1 top-k file from the stage-I submission")
+    parser.add_argument("--K-value", dest="k_value", type=int, default=50)
+    parser.add_argument("--submission-name", type=str, required=True)
+    parser.add_argument("--out-dir", type=str, default="submission/CIRR")
+    parser.add_argument("--q-batch", type=int, default=8)
+    parser.add_argument("--batch-size", type=int, default=16)
+    args = parser.parse_args(argv)
+    assert args.dataset.lower() == "cirr"
+
+    stage1, s1_cfg = build_stage1(args)
+    reranker, s2_cfg = build_stage2(args)
+    s1_params = load_params(args.stage1_path, 1, s1_cfg)
+    s2_params = load_params(args.stage2_path, 2, s2_cfg)
+    tokenizer = get_tokenizer(args)
+    transform = get_transform(args)
+
+    classic = CIRRDataset(args.data_root, "test1", "classic", transform,
+                          load_topk=args.top_k_path, k=args.k_value)
+    relative = CIRRDataset(args.data_root, "test1", "relative", transform,
+                           load_topk=args.top_k_path, k=args.k_value)
+
+    @jax.jit
+    def embed(images):
+        return reranker.apply(s2_params, images,
+                              method=RerankerModel.embed_images)
+
+    raw, _, index_names = build_index(classic, embed, args.batch_size,
+                                      pooled=False)
+
+    samples = [relative[i] for i in range(len(relative))]
+    pair_ids = [s["pair_id"] for s in samples]
+    refs = [s["reference_name"] for s in samples]
+    captions = [s["caption"] for s in samples]
+    groups = [s["group_members"] for s in samples]
+    topk_names = np.stack([np.asarray(s["topk_names"]) for s in samples])
+
+    out = rerank(stage1, s1_params, reranker, s2_params, tokenizer,
+                 captions=captions, reference_names=refs,
+                 topk_names=topk_names, index_feats=raw,
+                 index_names=index_names, text_len=args.text_len,
+                 q_batch=args.q_batch, group_members=groups)
+
+    reranked_names = np.take_along_axis(
+        np.asarray(topk_names, dtype=object), out.order, axis=1)
+    members_no_ref = np.asarray(
+        [[m for m in g if m != r][:5] for g, r in zip(groups, refs)],
+        dtype=object)
+    group_sorted = np.take_along_axis(members_no_ref, out.group_order, axis=1)
+
+    submission, group_submission = build_submissions(
+        pair_ids, reranked_names, group_sorted)
+    p1, p2 = write_submissions(args.out_dir, args.submission_name, submission,
+                               group_submission)
+    print(f"submissions saved at {p1} and {p2}")
+
+
+if __name__ == "__main__":
+    main()

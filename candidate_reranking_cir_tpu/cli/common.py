@@ -43,24 +43,41 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="static text bucket length")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
+    parser.add_argument("--model-config", type=str, default="",
+                        help="JSON overriding model dims: "
+                             '{"vit": {...}, "text": {...}, "embed_dim": N}')
     return parser
 
 
+def _model_overrides(args):
+    if not getattr(args, "model_config", ""):
+        return None
+    return json.loads(Path(args.model_config).read_text())
+
+
 def build_stage1(args, *, remat: bool = False):
-    cfg = RetrievalModelConfig(
-        vit=vit_config(args.vit, args.image_size, remat=remat),
-        text=TextEncoderConfig(),
-        text_len=args.text_len)
+    ov = _model_overrides(args) or {}
+    from candidate_reranking_cir_tpu.config import ViTConfig
+
+    vit = (ViTConfig(**{"remat": remat, **ov["vit"]}) if "vit" in ov
+           else vit_config(args.vit, args.image_size, remat=remat))
+    text = TextEncoderConfig(**ov.get("text", {}))
+    cfg = RetrievalModelConfig(vit=vit, text=text,
+                               embed_dim=ov.get("embed_dim", 256),
+                               text_len=args.text_len)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     return RetrievalModel(cfg, dtype=dtype), cfg
 
 
 def build_stage2(args, *, remat: bool = False):
-    cfg = RerankerModelConfig(
-        vit=vit_config(args.vit, args.image_size, drop_path_rate=0.1,
-                       remat=remat),
-        text=TextEncoderConfig(),
-        text_len=args.text_len)
+    ov = _model_overrides(args) or {}
+    from candidate_reranking_cir_tpu.config import ViTConfig
+
+    vit = (ViTConfig(**{"remat": remat, **ov["vit"]}) if "vit" in ov
+           else vit_config(args.vit, args.image_size, drop_path_rate=0.1,
+                           remat=remat))
+    text = TextEncoderConfig(**ov.get("text", {}))
+    cfg = RerankerModelConfig(vit=vit, text=text, text_len=args.text_len)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     return RerankerModel(cfg, dtype=dtype), cfg
 

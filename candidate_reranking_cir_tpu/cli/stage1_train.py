@@ -1,0 +1,227 @@
+"""Stage-I trainer CLI (reference stage1_train.py:508-595).
+
+Flag surface mirrors the reference; the training loop is a mesh-sharded jit
+step (runtime/train_steps.py) fed by a prefetching host loader. Differences by
+design:
+- in-batch contrast becomes global-batch contrast across the mesh,
+- gradient accumulation is optax.MultiSteps (reference: manual loss scaling),
+- checkpoints are Orbax train states with true resume (reference saves but
+  never reloads optimizer state).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from candidate_reranking_cir_tpu.cli.common import (
+    add_common_flags,
+    build_stage1,
+    get_tokenizer,
+    get_transform,
+    load_params,
+    print_metrics,
+)
+from candidate_reranking_cir_tpu.config import TrainConfig
+from candidate_reranking_cir_tpu.data.captions import compose_fiq_train
+from candidate_reranking_cir_tpu.data.datasets import (
+    CIRRDataset,
+    FashionIQDataset,
+)
+from candidate_reranking_cir_tpu.data.loader import BatchLoader, prefetch
+from candidate_reranking_cir_tpu.parallel.mesh import (
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from candidate_reranking_cir_tpu.retrieval.validate_engine import (
+    evaluate_cirr_stage1,
+    evaluate_fiq_stage1,
+)
+from candidate_reranking_cir_tpu.runtime.checkpoint import save_checkpoint
+from candidate_reranking_cir_tpu.runtime.logging import (
+    MetricsLogger,
+    make_comet,
+)
+from candidate_reranking_cir_tpu.runtime.optim import make_optimizer
+from candidate_reranking_cir_tpu.runtime.train_steps import (
+    TrainState,
+    make_stage1_train_step,
+)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    add_common_flags(parser)
+    parser.add_argument("--experiment-name", type=str, default="exp0")
+    parser.add_argument("--output-dir", type=str, default="models")
+    parser.add_argument("--pretrained", type=str, default="",
+                        help="BLIP pretrain .pth to start from")
+    parser.add_argument("--num-epochs", default=40, type=int)
+    parser.add_argument("--blip-max-epoch", default=10, type=int,
+                        help="cosine schedule period in epochs")
+    parser.add_argument("--blip-learning-rate", default=2e-5, type=float)
+    parser.add_argument("--batch-size", default=512, type=int)
+    parser.add_argument("--blip-bs", default=16, type=int,
+                        help="kept for flag parity; image embedding is one "
+                             "fused jit program here")
+    parser.add_argument("--blip-img-tune", action="store_true",
+                        help="finetune the ViT (default: frozen)")
+    parser.add_argument("--grad-accumulation-step", default=1, type=int)
+    parser.add_argument("--validation-frequency", default=1, type=int)
+    parser.add_argument("--weight-decay", default=0.05, type=float)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--api-key", type=str, default="")
+    parser.add_argument("--workspace", type=str, default="")
+    return parser.parse_args(argv)
+
+
+def tokenize_batch(tokenizer, captions, text_len):
+    return tokenizer.encode(captions, text_len, set_enc_token=True)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    dataset_name = args.dataset.lower()
+    assert dataset_name in ("cirr", "fashioniq")
+
+    model, cfg = build_stage1(args, remat=args.blip_img_tune)
+    tokenizer = get_tokenizer(args)
+    transform = get_transform(args)
+
+    train_cfg = TrainConfig(
+        learning_rate=args.blip_learning_rate, weight_decay=args.weight_decay,
+        num_epochs=args.num_epochs, cosine_max_epoch=args.blip_max_epoch,
+        batch_size=args.batch_size,
+        grad_accumulation=args.grad_accumulation_step, seed=args.seed,
+        finetune_vit=args.blip_img_tune,
+        validation_frequency=args.validation_frequency)
+
+    # datasets
+    rng = np.random.default_rng(args.seed)
+    if dataset_name == "cirr":
+        train_ds = CIRRDataset(args.data_root, "train", "relative", transform)
+    else:
+        train_ds = FashionIQDataset(args.data_root, "train",
+                                    list(args_dress(args)), "relative",
+                                    transform)
+    loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
+                         seed=args.seed, workers=8)
+    steps_per_epoch = max(len(loader), 1)
+
+    # params: pretrained BLIP or fresh init
+    if args.pretrained:
+        params = load_params(args.pretrained, 1, cfg)
+    else:
+        dummy_img = np.zeros((2, args.image_size, args.image_size, 3),
+                             np.float32)
+        dummy_ids = np.ones((2, args.text_len), np.int32)
+        params = model.init(jax.random.key(args.seed), dummy_img, dummy_ids,
+                            np.ones((2, args.text_len), np.int32))
+
+    freeze = () if args.blip_img_tune else ("params/visual_encoder",)
+    tx, schedule = make_optimizer(train_cfg, params, steps_per_epoch,
+                                  freeze_prefixes=freeze)
+    state = TrainState.create(params, tx)
+
+    mesh = make_mesh()
+    training_path = Path(args.output_dir) / args.experiment_name
+    logger = MetricsLogger(training_path, args.experiment_name,
+                           vars(args))
+    comet = make_comet(args.api_key or None, args.workspace or None,
+                       f"cir-stage1-{dataset_name}", args.experiment_name)
+    step_fn = make_stage1_train_step(model, finetune_vit=args.blip_img_tune)
+    drop_rng = jax.random.key(args.seed)
+
+    best_metric = -1.0
+    with jax.set_mesh(mesh):
+        state = jax.device_put(state, replicated(mesh))
+        for epoch in range(args.num_epochs):
+            t0 = time.time()
+            running_loss, seen = 0.0, 0
+            for batch in prefetch(iter(loader), 2):
+                captions = batch["caption"] if dataset_name == "cirr" else \
+                    compose_fiq_train(batch["captions"], rng)
+                ids, mask = tokenize_batch(tokenizer, captions, args.text_len)
+                device_batch = shard_batch(mesh, {
+                    "ref_images": batch["reference_image"].astype(np.float32),
+                    "target_images": batch["target_image"].astype(np.float32),
+                    "input_ids": ids, "attention_mask": mask,
+                })
+                state, loss = step_fn(state, device_batch, drop_rng)
+                loss = float(loss)
+                running_loss += loss * ids.shape[0]
+                seen += ids.shape[0]
+                comet.log_metric("step_loss", loss, step=int(state.step))
+            epoch_loss = running_loss / max(seen, 1)
+            lr = float(schedule(epoch * steps_per_epoch))
+            print(f"[epoch {epoch}] loss={epoch_loss:.4f} lr={lr:.2e} "
+                  f"({time.time() - t0:.1f}s)")
+            logger.log_train(epoch=epoch, train_epoch_loss=epoch_loss)
+            comet.log_metric("epoch_loss", epoch_loss, epoch=epoch)
+            comet.log_metric("epoch_lr", lr, epoch=epoch)
+
+            if (epoch % args.validation_frequency == 0
+                    or epoch == args.num_epochs - 1):
+                metrics, best_metric = run_validation(
+                    args, model, state, tokenizer, transform, dataset_name,
+                    epoch, logger, comet, best_metric, training_path)
+    print("training done")
+
+
+def args_dress(args):
+    return getattr(args, "dress_types", None) or ("dress", "shirt", "toptee")
+
+
+def run_validation(args, model, state, tokenizer, transform, dataset_name,
+                   epoch, logger, comet, best_metric, training_path):
+    params = jax.device_get(state.params)
+    saved_dir = Path(training_path) / "saved_models"
+    if dataset_name == "cirr":
+        classic = CIRRDataset(args.data_root, "val", "classic", transform)
+        relative = CIRRDataset(args.data_root, "val", "relative", transform)
+        result, _ = evaluate_cirr_stage1(
+            model, params, classic, relative, tokenizer,
+            text_len=args.text_len, batch_size=32)
+        mets = result.metrics
+        selection = mets["mean_r5_rs1"]  # stage1_train.py:497-499
+        ckpt_name = "blip_mean"
+    else:
+        r10s, r50s = [], []
+        mets = {}
+        for dress in ("shirt", "dress", "toptee"):
+            classic = FashionIQDataset(args.data_root, "val", [dress],
+                                       "classic", transform)
+            relative = FashionIQDataset(args.data_root, "val", [dress],
+                                        "relative", transform)
+            result, _ = evaluate_fiq_stage1(
+                model, params, classic, relative, tokenizer,
+                text_len=args.text_len, batch_size=32)
+            mets.update({f"{dress}_{k}": v for k, v in
+                         result.metrics.items()})
+            r10s.append(result.metrics["recall_at10"])
+            r50s.append(result.metrics["recall_at50"])
+        selection = (float(np.mean(r10s)) + float(np.mean(r50s))) / 2
+        mets["average_recall"] = selection
+        ckpt_name = "blip"
+
+    print_metrics(mets)
+    logger.log_validation(epoch=epoch, **mets)
+    for k, v in mets.items():
+        comet.log_metric(k, v, epoch=epoch)
+
+    save_checkpoint(saved_dir / "blip_last", state,
+                    metadata={"epoch": epoch})
+    if selection > best_metric:
+        best_metric = selection
+        save_checkpoint(saved_dir / ckpt_name, state,
+                        metadata={"epoch": epoch, "metric": selection})
+        print(f"saved best ({ckpt_name}) at epoch {epoch}: {selection:.2f}")
+    return mets, best_metric
+
+
+if __name__ == "__main__":
+    main()

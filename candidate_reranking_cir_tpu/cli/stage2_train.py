@@ -1,0 +1,205 @@
+"""Stage-II trainer CLI (reference stage2_train.py:562-658).
+
+Loads a frozen stage-I model to produce z_t on the fly inside the jitted
+train step, trains the dual-encoder re-ranker with CE over the B x B pair
+grid. The reference's inner Python loop over queries (blip_stage2.py:78-94)
+is one pair-grid program here, with candidate K/V computed once per candidate.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from candidate_reranking_cir_tpu.cli.common import (
+    add_common_flags,
+    build_stage1,
+    build_stage2,
+    get_tokenizer,
+    get_transform,
+    load_params,
+    print_metrics,
+)
+from candidate_reranking_cir_tpu.config import TrainConfig
+from candidate_reranking_cir_tpu.data.captions import compose_fiq_train
+from candidate_reranking_cir_tpu.data.datasets import (
+    CIRRDataset,
+    FashionIQDataset,
+)
+from candidate_reranking_cir_tpu.data.loader import BatchLoader, prefetch
+from candidate_reranking_cir_tpu.parallel.mesh import (
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from candidate_reranking_cir_tpu.runtime.checkpoint import save_checkpoint
+from candidate_reranking_cir_tpu.runtime.logging import (
+    MetricsLogger,
+    make_comet,
+)
+from candidate_reranking_cir_tpu.runtime.optim import make_optimizer
+from candidate_reranking_cir_tpu.runtime.train_steps import (
+    TrainState,
+    make_stage2_train_step,
+)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    add_common_flags(parser)
+    parser.add_argument("--experiment-name", type=str, default="exp0_s2")
+    parser.add_argument("--output-dir", type=str, default="models")
+    parser.add_argument("--stage1-path", type=str, required=True,
+                        help="trained stage-I checkpoint")
+    parser.add_argument("--pretrained", type=str, default="",
+                        help="BLIP pretrain .pth for stage-II init (dual "
+                             "duplication applied)")
+    parser.add_argument("--top-k-path", type=str, required=True,
+                        help="stage-I top-k file for validation")
+    parser.add_argument("--K-value", dest="k_value", type=int, required=True)
+    parser.add_argument("--num-epochs", default=100, type=int)
+    parser.add_argument("--blip-max-epoch", default=80, type=int)
+    parser.add_argument("--blip-learning-rate", default=2e-5, type=float)
+    parser.add_argument("--batch-size", default=16, type=int)
+    parser.add_argument("--grad-accumulation-step", default=1, type=int)
+    parser.add_argument("--validation-frequency", default=1, type=int)
+    parser.add_argument("--weight-decay", default=0.05, type=float)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--api-key", type=str, default="")
+    parser.add_argument("--workspace", type=str, default="")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    dataset_name = args.dataset.lower()
+    assert dataset_name in ("cirr", "fashioniq")
+
+    stage1, s1_cfg = build_stage1(args)
+    reranker, s2_cfg = build_stage2(args, remat=True)
+    tokenizer = get_tokenizer(args)
+    transform = get_transform(args)
+
+    s1_params = load_params(args.stage1_path, 1, s1_cfg)
+    if args.pretrained:
+        s2_params = load_params(args.pretrained, 2, s2_cfg)
+    else:
+        d_img = np.zeros((2, args.image_size, args.image_size, 3), np.float32)
+        d_ids = np.ones((2, args.text_len), np.int32)
+        d_z = np.zeros((2, args.text_len, s2_cfg.text.hidden_size), np.float32)
+        s2_params = reranker.init(jax.random.key(args.seed), d_img, d_ids,
+                                  np.ones((2, args.text_len), np.int32), d_z)
+
+    train_cfg = TrainConfig(
+        learning_rate=args.blip_learning_rate, weight_decay=args.weight_decay,
+        num_epochs=args.num_epochs, cosine_max_epoch=args.blip_max_epoch,
+        batch_size=args.batch_size,
+        grad_accumulation=args.grad_accumulation_step, seed=args.seed)
+
+    rng = np.random.default_rng(args.seed)
+    if dataset_name == "cirr":
+        train_ds = CIRRDataset(args.data_root, "train", "relative", transform)
+    else:
+        train_ds = FashionIQDataset(args.data_root, "train",
+                                    ["dress", "shirt", "toptee"], "relative",
+                                    transform)
+    loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
+                         seed=args.seed)
+    steps_per_epoch = max(len(loader), 1)
+
+    tx, schedule = make_optimizer(train_cfg, s2_params, steps_per_epoch)
+    state = TrainState.create(s2_params, tx)
+
+    mesh = make_mesh()
+    training_path = Path(args.output_dir) / args.experiment_name
+    logger = MetricsLogger(training_path, args.experiment_name, vars(args))
+    comet = make_comet(args.api_key or None, args.workspace or None,
+                       f"cir-stage2-{dataset_name}", args.experiment_name)
+    step_fn = make_stage2_train_step(stage1, reranker)
+    drop_rng = jax.random.key(args.seed)
+
+    best_metric = -1.0
+    with jax.set_mesh(mesh):
+        state = jax.device_put(state, replicated(mesh))
+        s1_params_dev = jax.device_put(s1_params, replicated(mesh))
+        for epoch in range(args.num_epochs):
+            t0 = time.time()
+            running_loss, seen = 0.0, 0
+            for batch in prefetch(iter(loader), 2):
+                captions = batch["caption"] if dataset_name == "cirr" else \
+                    compose_fiq_train(batch["captions"], rng)
+                ids, mask = tokenizer.encode(captions, args.text_len,
+                                             set_enc_token=True)
+                device_batch = shard_batch(mesh, {
+                    "ref_images": batch["reference_image"].astype(np.float32),
+                    "target_images": batch["target_image"].astype(np.float32),
+                    "input_ids": ids, "attention_mask": mask,
+                })
+                state, loss = step_fn(state, s1_params_dev, device_batch,
+                                      drop_rng)
+                loss = float(loss)
+                running_loss += loss * ids.shape[0]
+                seen += ids.shape[0]
+                comet.log_metric("step_loss", loss, step=int(state.step))
+            epoch_loss = running_loss / max(seen, 1)
+            print(f"[epoch {epoch}] loss={epoch_loss:.4f} "
+                  f"lr={float(schedule(epoch * steps_per_epoch)):.2e} "
+                  f"({time.time() - t0:.1f}s)")
+            logger.log_train(epoch=epoch, train_epoch_loss=epoch_loss)
+            comet.log_metric("epoch_loss", epoch_loss, epoch=epoch)
+
+            if (epoch % args.validation_frequency == 0
+                    or epoch == args.num_epochs - 1):
+                best_metric = run_validation(
+                    args, stage1, s1_params, reranker, state, tokenizer,
+                    transform, dataset_name, epoch, logger, comet,
+                    best_metric, training_path)
+    print("training done")
+
+
+def run_validation(args, stage1, s1_params, reranker, state, tokenizer,
+                   transform, dataset_name, epoch, logger, comet, best_metric,
+                   training_path):
+    from candidate_reranking_cir_tpu.retrieval.validate2_engine import (
+        evaluate_cirr_stage2,
+        evaluate_fiq_stage2,
+    )
+
+    s2_params = jax.device_get(state.params)
+    saved_dir = Path(training_path) / "saved_models"
+    if dataset_name == "cirr":
+        mets = evaluate_cirr_stage2(
+            stage1, s1_params, reranker, s2_params, tokenizer,
+            data_root=args.data_root, transform=transform,
+            top_k_path=args.top_k_path, k=args.k_value,
+            text_len=args.text_len)
+        selection = (mets["recall_at5"] + mets["group_recall_at1"]) / 2
+        ckpt_name = "blip_mean"
+    else:
+        mets = evaluate_fiq_stage2(
+            stage1, s1_params, reranker, s2_params, tokenizer,
+            data_root=args.data_root, transform=transform,
+            top_k_path=args.top_k_path, k=args.k_value,
+            text_len=args.text_len)
+        selection = mets["average_recall"]
+        ckpt_name = "blip"
+
+    print_metrics(mets)
+    logger.log_validation(epoch=epoch, **mets)
+    for k, v in mets.items():
+        comet.log_metric(k, v, epoch=epoch)
+
+    save_checkpoint(saved_dir / "blip_last", state, metadata={"epoch": epoch})
+    if selection > best_metric:
+        best_metric = selection
+        save_checkpoint(saved_dir / ckpt_name, state,
+                        metadata={"epoch": epoch, "metric": selection})
+        print(f"saved best ({ckpt_name}) at epoch {epoch}: {selection:.2f}")
+    return best_metric
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Stage-II validation CLI (reference validate_stage2.py:301-414)."""
+from __future__ import annotations
+
+import argparse
+
+from candidate_reranking_cir_tpu.cli.common import (
+    add_common_flags,
+    build_stage1,
+    build_stage2,
+    get_tokenizer,
+    get_transform,
+    load_params,
+    print_metrics,
+)
+from candidate_reranking_cir_tpu.retrieval.validate2_engine import (
+    evaluate_cirr_stage2,
+    evaluate_fiq_stage2,
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    add_common_flags(parser)
+    parser.add_argument("--stage1-path", type=str, required=True)
+    parser.add_argument("--stage2-path", type=str, required=True)
+    parser.add_argument("--top-k-path", type=str, required=True)
+    parser.add_argument("--K-value", dest="k_value", type=int, default=50)
+    parser.add_argument("--q-batch", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    stage1, s1_cfg = build_stage1(args)
+    reranker, s2_cfg = build_stage2(args)
+    s1_params = load_params(args.stage1_path, 1, s1_cfg)
+    s2_params = load_params(args.stage2_path, 2, s2_cfg)
+    tokenizer = get_tokenizer(args)
+    transform = get_transform(args)
+
+    if args.dataset.lower() == "cirr":
+        mets = evaluate_cirr_stage2(
+            stage1, s1_params, reranker, s2_params, tokenizer,
+            data_root=args.data_root, transform=transform,
+            top_k_path=args.top_k_path, k=args.k_value,
+            text_len=args.text_len, q_batch=args.q_batch)
+        print_metrics(mets)
+        print(f"recall_mean = {mets['mean_r5_rs1']:.2f}")
+    elif args.dataset.lower() == "fashioniq":
+        mets = evaluate_fiq_stage2(
+            stage1, s1_params, reranker, s2_params, tokenizer,
+            data_root=args.data_root, transform=transform,
+            top_k_path=args.top_k_path, k=args.k_value,
+            text_len=args.text_len, q_batch=args.q_batch)
+        print_metrics(mets)
+    else:
+        raise ValueError("Dataset should be either 'CIRR' or 'fashionIQ'")
+
+
+if __name__ == "__main__":
+    main()

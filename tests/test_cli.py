@@ -1,0 +1,158 @@
+"""CLI integration tests: full command surface on a synthetic CIRR dataset
+with tiny models (via --model-config) and Orbax checkpoints."""
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
+from candidate_reranking_cir_tpu.config import (
+    RerankerModelConfig,
+    RetrievalModelConfig,
+    TextEncoderConfig,
+    ViTConfig,
+)
+from candidate_reranking_cir_tpu.runtime.checkpoint import save_checkpoint
+
+IMG = 32
+N_IMAGES = 12
+N_QUERIES = 6
+
+MODEL_CONFIG = {
+    "vit": {"image_size": IMG, "patch_size": 8, "hidden_size": 24,
+            "num_layers": 2, "num_heads": 4},
+    "text": {"vocab_size": 256, "hidden_size": 24, "num_layers": 2,
+             "num_heads": 4, "intermediate_size": 48, "encoder_width": 24,
+             "hidden_dropout": 0.0, "attention_dropout": 0.0,
+             "merge_mlp_from": 1},
+    "embed_dim": 16,
+}
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    """Synthetic CIRR dataset (val + test1) + tiny checkpoints + config."""
+    import PIL.Image
+
+    root = tmp_path_factory.mktemp("cliroot")
+    base = root / "cirr_dataset"
+    (base / "cirr" / "captions").mkdir(parents=True)
+    (base / "cirr" / "image_splits").mkdir(parents=True)
+    (base / "img").mkdir()
+
+    rng = np.random.default_rng(0)
+    names = [f"im{i}" for i in range(N_IMAGES)]
+    relpath = {}
+    for i, name in enumerate(names):
+        arr = rng.integers(0, 255, size=(40, 36, 3), dtype=np.uint8)
+        PIL.Image.fromarray(arr).save(base / "img" / f"{name}.jpg")
+        relpath[name] = f"img/{name}.jpg"
+
+    def triplets(split):
+        out = []
+        for q in range(N_QUERIES):
+            ref, tgt = names[q], names[(q + 3) % N_IMAGES]
+            members = [ref, tgt] + [names[(q + 5 + j) % N_IMAGES]
+                                    for j in range(4)]
+            t = {"pairid": q, "reference": ref,
+                 "caption": f"a red dress {q}",
+                 "img_set": {"members": members}}
+            if split != "test1":
+                t["target_hard"] = tgt
+            out.append(t)
+        return out
+
+    for split in ("val", "test1"):
+        with open(base / "cirr" / "captions" / f"cap.rc2.{split}.json",
+                  "w") as f:
+            json.dump(triplets(split), f)
+        with open(base / "cirr" / "image_splits" / f"split.rc2.{split}.json",
+                  "w") as f:
+            json.dump(relpath, f)
+
+    cfg_path = root / "model_config.json"
+    cfg_path.write_text(json.dumps(MODEL_CONFIG))
+
+    # tiny checkpoints
+    vit = ViTConfig(**MODEL_CONFIG["vit"])
+    text = TextEncoderConfig(**MODEL_CONFIG["text"])
+    s1 = RetrievalModel(RetrievalModelConfig(vit=vit, text=text, embed_dim=16,
+                                             text_len=10))
+    s2 = RerankerModel(RerankerModelConfig(vit=vit, text=text, text_len=10))
+    imgs = np.zeros((2, IMG, IMG, 3), np.float32)
+    ids = np.ones((2, 10), np.int32)
+    msk = np.ones((2, 10), np.int32)
+    z = np.zeros((2, 10, 24), np.float32)
+    s1_params = s1.init(jax.random.key(0), imgs, ids, msk)
+    s2_params = s2.init(jax.random.key(1), imgs, ids, msk, z)
+    save_checkpoint(root / "ckpt_s1", {"params": s1_params})
+    save_checkpoint(root / "ckpt_s2", {"params": s2_params})
+    return root
+
+
+def _common(workdir):
+    return ["--dataset", "CIRR", "--data-root", str(workdir),
+            "--image-size", str(IMG), "--text-len", "10", "--no-bf16",
+            "--model-config", str(workdir / "model_config.json")]
+
+
+def test_cli_validate_and_stage2(workdir, capsys):
+    from candidate_reranking_cir_tpu.cli import validate, validate_stage2
+
+    topk = workdir / "cirr_topk_val.npz"
+    validate.main(_common(workdir) + [
+        "--stage1-path", str(workdir / "ckpt_s1"),
+        "--save-topk", "--k", "8", "--topk-out", str(topk),
+        "--batch-size", "4"])
+    out = capsys.readouterr().out
+    assert "recall_at1 =" in out and "group_recall_at1 =" in out
+    assert topk.exists()
+
+    validate_stage2.main(_common(workdir) + [
+        "--stage1-path", str(workdir / "ckpt_s1"),
+        "--stage2-path", str(workdir / "ckpt_s2"),
+        "--top-k-path", str(topk), "--K-value", "4", "--q-batch", "4"])
+    out = capsys.readouterr().out
+    assert "recall_mean" in out
+
+
+def test_cli_submissions(workdir, capsys):
+    from candidate_reranking_cir_tpu.cli import (
+        cirr_test_submission,
+        cirr_test_submission_stage2,
+    )
+
+    sub_dir = workdir / "submission"
+    topk = workdir / "cirr_topk_test1.npz"
+    cirr_test_submission.main(_common(workdir) + [
+        "--stage1-path", str(workdir / "ckpt_s1"),
+        "--submission-name", "tiny_stage1",
+        "--out-dir", str(sub_dir),
+        "--save-topk", "--k", "4", "--topk-out", str(topk),
+        "--batch-size", "4"])
+    p1 = sub_dir / "recall_submission_tiny_stage1.json"
+    p2 = sub_dir / "recall_subset_submission_tiny_stage1.json"
+    assert p1.exists() and p2.exists()
+    sub = json.loads(p1.read_text())
+    assert sub["version"] == "rc2" and sub["metric"] == "recall"
+    assert len(sub["0"]) == min(50, N_IMAGES - 1)
+    # reference image never appears in its own ranking
+    assert "im0" not in sub["0"]
+    subset = json.loads(p2.read_text())
+    assert subset["metric"] == "recall_subset" and len(subset["0"]) == 3
+
+    cirr_test_submission_stage2.main(_common(workdir) + [
+        "--stage1-path", str(workdir / "ckpt_s1"),
+        "--stage2-path", str(workdir / "ckpt_s2"),
+        "--top-k-path", str(topk), "--K-value", "4",
+        "--submission-name", "tiny_stage2",
+        "--out-dir", str(sub_dir), "--q-batch", "4", "--batch-size", "4"])
+    s2_file = sub_dir / "recall_submission_tiny_stage2.json"
+    assert s2_file.exists()
+    s2_sub = json.loads(s2_file.read_text())
+    # stage-2 global list re-sorts the stage-1 top-k set
+    assert set(s2_sub["0"]) == set(
+        json.loads(p1.read_text())["0"][:4])
