@@ -64,19 +64,35 @@ def main():
          else jnp.zeros(s.shape, s.dtype))
         for k, s in zip(keys, leaves)])
 
+    # Timing methodology: the remote-TPU relay in this environment does not
+    # honor block_until_ready for async dispatch, so ITERS scoring calls are
+    # chained data-dependently inside ONE jit (lax.scan) and synced by a
+    # scalar D2H; the relay round-trip is measured separately and subtracted.
     @jax.jit
-    def score(params, z_t, ids, mask, cand):
-        return model.apply(params, z_t, ids, mask, cand,
-                           method=RerankerModel.score_per_query)
+    def score_chain(params, z_t, ids, mask, cand):
+        def body(carry, _):
+            out = model.apply(params, z_t + carry, ids, mask, cand,
+                              method=RerankerModel.score_per_query)
+            return jnp.mean(out) * 1e-9, None
+        carry, _ = jax.lax.scan(body, jnp.zeros(()), None, length=ITERS)
+        return carry
+
+    @jax.jit
+    def trivial(x):
+        return x + 1.0
+
+    float(trivial(jnp.zeros(())))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(trivial(jnp.zeros(())))
+    rtt = (time.perf_counter() - t0) / 5
 
     for _ in range(WARMUP):
-        score(params, z_t, ids, mask, cand).block_until_ready()
+        float(score_chain(params, z_t, ids, mask, cand))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = score(params, z_t, ids, mask, cand)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
+    float(score_chain(params, z_t, ids, mask, cand))
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / ITERS
 
     triplets_per_sec = Q * K / dt
     print(json.dumps({
