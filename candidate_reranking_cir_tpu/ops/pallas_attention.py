@@ -1,0 +1,182 @@
+"""Pallas fused attention kernel for TPU.
+
+Motivation: in the dual-encoder hot path the XLA lowering materializes the
+fp32 score tensor [B, H, Lq, M] in HBM between the QK^T and PV matmuls (plus
+softmax round-trips) — for the stage-II pair grid that is ~1.3 GB of traffic
+per layer-stream. Query and KV sequence lengths here are small (Lq <= 64 text
+tokens, M = 577 image tokens), so one (batch, head) program's full score
+matrix fits comfortably in VMEM: this kernel computes QK^T, a numerically
+exact fp32 softmax, and the PV contraction without ever leaving VMEM — no
+online-softmax bookkeeping needed at these shapes.
+
+Layout: q [B, Lq, H, D], k/v [B, M, H, D] (the framework's native layout);
+grid (B, H). The wrapper pads Lq and M to tile multiples and masks padded
+keys with the framework's -10000-style additive convention (padded queries
+produce garbage rows that the wrapper slices off).
+
+Backward: custom_vjp whose backward is the standard XLA attention backward
+(exact, recompute-based). The forward is where eval throughput lives; a
+fused Pallas backward is a later optimization.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float):
+    """One (batch, head) program: q [Lq, D], k/v [M_pad, D] -> o [Lq, D]."""
+    q = q_ref[0, :, 0, :]
+    k = k_ref[0, :, 0, :]
+    v = v_ref[0, :, 0, :]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    m_pad = k.shape[0]
+    if m_pad != kv_len:
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(key_idx < kv_len, scores, NEG_INF)
+
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    denom = jnp.sum(probs, axis=-1, keepdims=True)
+    probs = (probs / denom).astype(v.dtype)
+
+    out = jax.lax.dot_general(
+        probs, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, kv_len: int,
+                      scale: float):
+    """Variant with an additive bias [Lq, M] (text self-attention masks)."""
+    q = q_ref[0, :, 0, :]
+    k = k_ref[0, :, 0, :]
+    v = v_ref[0, :, 0, :]
+    bias = b_ref[0, :, :]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    scores = scores + bias.astype(jnp.float32)
+
+    m_pad = k.shape[0]
+    if m_pad != kv_len:
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(key_idx < kv_len, scores, NEG_INF)
+
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(v.dtype)
+    out = jax.lax.dot_general(
+        probs, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool = False):
+    """q [B, Lq, H, D]; k, v [B, M, H, D]; bias None or broadcastable
+    [B, 1|H, Lq, M] additive. Returns [B, Lq, H, D]."""
+    b, lq, h, d = q.shape
+    m = k.shape[1]
+    scale = d ** -0.5
+
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    lq_pad = _round_up(lq, sublane)
+    m_pad = _round_up(m, 128)
+
+    if lq_pad != lq:
+        q = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, 0), (0, 0)))
+    if m_pad != m:
+        k = jnp.pad(k, ((0, 0), (0, m_pad - m), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, m_pad - m), (0, 0), (0, 0)))
+
+    grid = (b, h)
+    q_spec = pl.BlockSpec((1, lq_pad, 1, d), lambda i, j: (i, 0, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, m_pad, 1, d), lambda i, j: (i, 0, j, 0),
+                           memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, lq_pad, 1, d), lambda i, j: (i, 0, j, 0),
+                          memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, lq_pad, h, d), q.dtype)
+
+    cost = pl.CostEstimate(
+        flops=2 * b * h * lq * m * d * 2,
+        bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+        transcendentals=b * h * lq * m)
+
+    if bias is None:
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel, kv_len=m, scale=scale),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=o_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
+    else:
+        # broadcast bias to [B, Lq_pad, M_pad] (head-independent masks only)
+        bias3 = jnp.broadcast_to(bias[:, 0] if bias.ndim == 4 else bias,
+                                 (b, lq, m)).astype(jnp.float32)
+        bias3 = jnp.pad(bias3, ((0, 0), (0, lq_pad - lq), (0, m_pad - m)))
+        b_spec = pl.BlockSpec((1, lq_pad, m_pad), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_attn_bias_kernel, kv_len=m, scale=scale),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec, b_spec],
+            out_specs=o_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v, bias3)
+
+    return out[:, :lq]
+
+
+def _xla_attention(q, k, v, bias):
+    """Reference XLA path (also the vjp backward's recompute)."""
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores.astype(jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhlm,bmhd->blhd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_attention(q, k, v, bias=None):
+    """Fused TPU attention with exact softmax. Differentiable: the backward
+    pass recomputes attention with standard XLA ops."""
+    return _fused_attention_fwd_impl(q, k, v, bias)
+
+
+def _fwd(q, k, v, bias):
+    return _fused_attention_fwd_impl(q, k, v, bias), (q, k, v, bias)
+
+
+def _bwd(res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, bias), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+fused_attention.defvjp(_fwd, _bwd)

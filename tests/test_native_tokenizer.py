@@ -1,0 +1,55 @@
+"""Native C++ WordPiece tokenizer parity vs the Python reference."""
+import tempfile
+
+import numpy as np
+import pytest
+
+from candidate_reranking_cir_tpu.models.tokenizer import (
+    WordPieceTokenizer,
+    build_test_vocab,
+)
+
+native = pytest.importorskip(
+    "candidate_reranking_cir_tpu.models.native_tokenizer")
+if not native.native_available():
+    pytest.skip("libwordpiece.so not built (make -C native)",
+                allow_module_level=True)
+
+TEXTS = [
+    "The DRESS is red, and blue!",
+    "a dog with a cat.",
+    "drèss", "CAFÉ naïve",
+    "zzqx 123", "Is the same image?",
+    "shirt dresss dressed dressing",
+    "hello\tworld\nnewline", "漢字 test", "...!!??", "",
+    "a" * 150,  # over max_chars_per_word -> [UNK]
+]
+
+
+@pytest.fixture(scope="module")
+def pair():
+    vocab = build_test_vocab()
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        for tok, _ in sorted(vocab.items(), key=lambda kv: kv[1]):
+            f.write(tok + "\n")
+        path = f.name
+    return (WordPieceTokenizer(vocab),
+            native.NativeWordPieceTokenizer(path))
+
+
+def test_metadata(pair):
+    py, nat = pair
+    assert nat.vocab_size == py.vocab_size
+    assert nat.enc_token_id == py.enc_token_id
+    assert nat.dec_token_id == py.dec_token_id
+    assert nat.pad_id == py.pad_id
+
+
+@pytest.mark.parametrize("set_enc", [False, True])
+@pytest.mark.parametrize("max_len", [8, 16, 40])
+def test_encode_parity(pair, set_enc, max_len):
+    py, nat = pair
+    i1, m1 = py.encode(TEXTS, max_len, set_enc_token=set_enc)
+    i2, m2 = nat.encode(TEXTS, max_len, set_enc_token=set_enc)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(m1, m2)
