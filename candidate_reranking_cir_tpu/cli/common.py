@@ -43,6 +43,9 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="static text bucket length")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
+    parser.add_argument("--dress-types", type=str, nargs="+",
+                        default=["dress", "shirt", "toptee"],
+                        help="Fashion-IQ categories")
     parser.add_argument("--model-config", type=str, default="",
                         help="JSON overriding model dims: "
                              '{"vit": {...}, "text": {...}, "embed_dim": N}')

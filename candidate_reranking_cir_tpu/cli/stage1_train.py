@@ -76,6 +76,10 @@ def parse_args(argv=None):
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--api-key", type=str, default="")
     parser.add_argument("--workspace", type=str, default="")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from <output-dir>/<exp>/saved_models/"
+                             "blip_last (full train state incl. optimizer — "
+                             "a capability the reference lacks)")
     return parser.parse_args(argv)
 
 
@@ -106,7 +110,7 @@ def main(argv=None):
         train_ds = CIRRDataset(args.data_root, "train", "relative", transform)
     else:
         train_ds = FashionIQDataset(args.data_root, "train",
-                                    list(args_dress(args)), "relative",
+                                    list(args.dress_types), "relative",
                                     transform)
     loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
                          seed=args.seed, workers=8)
@@ -129,6 +133,10 @@ def main(argv=None):
 
     mesh = make_mesh()
     training_path = Path(args.output_dir) / args.experiment_name
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = try_resume(
+            training_path / "saved_models" / "blip_last", state)
     logger = MetricsLogger(training_path, args.experiment_name,
                            vars(args))
     comet = make_comet(args.api_key or None, args.workspace or None,
@@ -139,7 +147,7 @@ def main(argv=None):
     best_metric = -1.0
     with jax.set_mesh(mesh):
         state = jax.device_put(state, replicated(mesh))
-        for epoch in range(args.num_epochs):
+        for epoch in range(start_epoch, args.num_epochs):
             t0 = time.time()
             running_loss, seen = 0.0, 0
             for batch in prefetch(iter(loader), 2):
@@ -172,8 +180,27 @@ def main(argv=None):
     print("training done")
 
 
-def args_dress(args):
-    return getattr(args, "dress_types", None) or ("dress", "shirt", "toptee")
+def try_resume(path, state):
+    """Restore a full TrainState + next epoch from an Orbax checkpoint."""
+    import json
+
+    from candidate_reranking_cir_tpu.runtime.checkpoint import (
+        restore_checkpoint,
+    )
+
+    path = Path(path)
+    if not path.exists():
+        print(f"no checkpoint at {path}; starting fresh")
+        return state, 0
+    restored = restore_checkpoint(path, state)
+    state = state.replace(step=restored["step"], params=restored["params"],
+                          opt_state=restored["opt_state"])
+    meta = path / "framework_metadata.json"
+    epoch = 0
+    if meta.exists():
+        epoch = json.loads(meta.read_text()).get("epoch", -1) + 1
+    print(f"resumed from {path} at epoch {epoch} (step {int(state.step)})")
+    return state, epoch
 
 
 def run_validation(args, model, state, tokenizer, transform, dataset_name,

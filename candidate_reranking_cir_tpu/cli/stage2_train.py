@@ -70,6 +70,8 @@ def parse_args(argv=None):
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--api-key", type=str, default="")
     parser.add_argument("--workspace", type=str, default="")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from saved_models/blip_last")
     return parser.parse_args(argv)
 
 
@@ -104,7 +106,7 @@ def main(argv=None):
         train_ds = CIRRDataset(args.data_root, "train", "relative", transform)
     else:
         train_ds = FashionIQDataset(args.data_root, "train",
-                                    ["dress", "shirt", "toptee"], "relative",
+                                    list(args.dress_types), "relative",
                                     transform)
     loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
                          seed=args.seed)
@@ -115,6 +117,12 @@ def main(argv=None):
 
     mesh = make_mesh()
     training_path = Path(args.output_dir) / args.experiment_name
+    start_epoch = 0
+    if args.resume:
+        from candidate_reranking_cir_tpu.cli.stage1_train import try_resume
+
+        state, start_epoch = try_resume(
+            training_path / "saved_models" / "blip_last", state)
     logger = MetricsLogger(training_path, args.experiment_name, vars(args))
     comet = make_comet(args.api_key or None, args.workspace or None,
                        f"cir-stage2-{dataset_name}", args.experiment_name)
@@ -125,7 +133,7 @@ def main(argv=None):
     with jax.set_mesh(mesh):
         state = jax.device_put(state, replicated(mesh))
         s1_params_dev = jax.device_put(s1_params, replicated(mesh))
-        for epoch in range(args.num_epochs):
+        for epoch in range(start_epoch, args.num_epochs):
             t0 = time.time()
             running_loss, seen = 0.0, 0
             for batch in prefetch(iter(loader), 2):

@@ -33,6 +33,8 @@ class TextEncoderConfig:
     # dual-stream re-ranker only: layers >= merge_mlp_from use MLP-merge for the twin
     # cross-attention outputs; earlier layers average (reference nlvr_encoder.py:286)
     merge_mlp_from: int = 6
+    # route attention through the Pallas VMEM-resident kernel where eligible
+    fused_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -54,6 +56,7 @@ class ViTConfig:
     attention_dropout: float = 0.0
     drop_path_rate: float = 0.0      # stage-II uses 0.1 (reference blip_stage2.py:37)
     remat: bool = False              # activation checkpointing per block
+    fused_attention: bool = False    # Pallas fused attention kernel
 
     @property
     def num_patches(self) -> int:

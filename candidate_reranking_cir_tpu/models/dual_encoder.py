@@ -67,7 +67,8 @@ class DualLayer(nn.Module):
         def self_branch(name, h):
             ctx = MultiHeadAttention(
                 cfg.num_heads, cfg.head_dim, cfg.hidden_size, self.dtype,
-                cfg.attention_dropout, name=f"self_attn{name}")(
+                cfg.attention_dropout, fused=cfg.fused_attention,
+                name=f"self_attn{name}")(
                     h, None, text_bias, deterministic=deterministic)
             ctx = nn.Dropout(cfg.hidden_dropout)(ctx, deterministic=deterministic)
             return LayerNorm(cfg.layer_norm_eps, self.dtype,
@@ -90,11 +91,13 @@ class DualLayer(nn.Module):
             if shared_candidates:
                 ctx = pair_cross_attention(
                     q, k, v, None, dropout_rate=cfg.attention_dropout,
-                    dropout_rng=rng, deterministic=deterministic)
+                    dropout_rng=rng, deterministic=deterministic,
+                    fused=cfg.fused_attention)
             else:
                 ctx = dot_product_attention(
                     q, k, v, None, dropout_rate=cfg.attention_dropout,
-                    dropout_rng=rng, deterministic=deterministic)
+                    dropout_rng=rng, deterministic=deterministic,
+                    fused=cfg.fused_attention)
             return HeadOutProjection(cfg.hidden_size, self.dtype,
                                      name=f"cross_dense{name}")(ctx)
 

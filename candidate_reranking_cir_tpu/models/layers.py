@@ -108,6 +108,7 @@ class MultiHeadAttention(nn.Module):
     out_features: int
     dtype: Dtype = jnp.float32
     dropout_rate: float = 0.0
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, y=None, bias=None, *, deterministic: bool = True):
@@ -121,7 +122,7 @@ class MultiHeadAttention(nn.Module):
         ctx = dot_product_attention(
             q, k, v, bias,
             dropout_rate=self.dropout_rate, dropout_rng=rng,
-            deterministic=deterministic)
+            deterministic=deterministic, fused=self.fused)
         return HeadOutProjection(self.out_features, self.dtype, name="out")(ctx)
 
 

@@ -58,7 +58,7 @@ class BertSelfAttentionBlock(nn.Module):
         cfg = self.cfg
         ctx = MultiHeadAttention(
             cfg.num_heads, cfg.head_dim, cfg.hidden_size, self.dtype,
-            cfg.attention_dropout, name="attn")(
+            cfg.attention_dropout, fused=cfg.fused_attention, name="attn")(
                 x, kv, bias, deterministic=deterministic)
         ctx = nn.Dropout(cfg.hidden_dropout)(ctx, deterministic=deterministic)
         return LayerNorm(cfg.layer_norm_eps, self.dtype, name="ln")(ctx + x)

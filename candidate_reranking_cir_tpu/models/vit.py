@@ -64,7 +64,8 @@ class ViTBlock(nn.Module):
         h = LayerNorm(cfg.layer_norm_eps, self.dtype, name="norm1")(x)
         h = MultiHeadAttention(
             cfg.num_heads, cfg.head_dim, cfg.hidden_size, self.dtype,
-            cfg.attention_dropout, name="attn")(h, deterministic=deterministic)
+            cfg.attention_dropout, fused=cfg.fused_attention,
+            name="attn")(h, deterministic=deterministic)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
         x = x + _drop_path(self, h, drop_path_rate, deterministic)
         h = LayerNorm(cfg.layer_norm_eps, self.dtype, name="norm2")(x)

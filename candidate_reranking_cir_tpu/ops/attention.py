@@ -44,6 +44,7 @@ def dot_product_attention(
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
     deterministic: bool = True,
+    fused: bool = False,
 ) -> jax.Array:
     """Multi-head scaled dot-product attention.
 
@@ -52,7 +53,15 @@ def dot_product_attention(
 
     Softmax (and the score accumulation) run in float32; the context matmul runs in
     the input dtype with fp32 MXU accumulation.
+
+    fused=True routes through the Pallas VMEM-resident kernel
+    (ops/pallas_attention.py) when the call qualifies: no attention dropout
+    active and a head-independent bias. Falls back silently otherwise.
     """
+    if fused and (deterministic or dropout_rate == 0.0):
+        out = _try_fused(q, k, v, bias)
+        if out is not None:
+            return out
     dtype = q.dtype
     depth = q.shape[-1]
     scale = depth ** -0.5
@@ -72,6 +81,33 @@ def dot_product_attention(
     return out.astype(dtype)
 
 
+def _try_fused(q, k, v, bias):
+    """Flatten leading batch dims and dispatch to the Pallas kernel.
+    Returns None when the shape/bias layout is not kernel-compatible."""
+    if q.ndim < 4 or k.ndim != q.ndim:
+        return None
+    batch_shape = q.shape[:-3]
+    lq, h, d = q.shape[-3:]
+    m = k.shape[-3]
+    if k.shape[:-3] != batch_shape:
+        return None
+    if bias is not None:
+        # kernel supports head-independent bias only
+        if bias.ndim < 3 or bias.shape[-3] not in (1,):
+            return None
+        bias = jnp.broadcast_to(
+            bias, (*batch_shape, 1, lq, m)).reshape(-1, 1, lq, m)
+    from candidate_reranking_cir_tpu.ops.pallas_attention import (
+        fused_attention,
+    )
+
+    qf = q.reshape(-1, lq, h, d)
+    kf = k.reshape(-1, m, h, d)
+    vf = v.reshape(-1, m, h, d)
+    out = fused_attention(qf, kf, vf, bias)
+    return out.reshape(*batch_shape, lq, h, d)
+
+
 def pair_cross_attention(
     q: jax.Array,
     k: jax.Array,
@@ -81,6 +117,7 @@ def pair_cross_attention(
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
     deterministic: bool = True,
+    fused: bool = False,
 ) -> jax.Array:
     """Cross-attention over a (query x candidate) pair grid with shared K/V.
 
@@ -91,7 +128,21 @@ def pair_cross_attention(
     Returns [Q, C, Lq, H, D]. The einsum broadcasts K over the query axis, so the
     O(C * Lk * width^2) K/V projection cost is paid once per candidate rather than
     once per pair — the key FLOP saving over the reference's B sequential forwards.
+
+    fused=True (deterministic, no bias) folds the query axis into the q
+    sequence — per candidate c the kernel attends [Q*Lq] rows to that
+    candidate's keys, a larger and better-tiled program than per-pair calls.
     """
+    if (fused and (deterministic or dropout_rate == 0.0) and bias is None
+            and k.ndim == 4):
+        from candidate_reranking_cir_tpu.ops.pallas_attention import (
+            fused_attention,
+        )
+
+        n_q, n_c, lq, h, d = q.shape
+        qt = q.transpose(1, 0, 2, 3, 4).reshape(n_c, n_q * lq, h, d)
+        out = fused_attention(qt, k, v, None)
+        return out.reshape(n_c, n_q, lq, h, d).transpose(1, 0, 2, 3, 4)
     dtype = q.dtype
     scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("qclhd,ckhd->qchlk", q, k,

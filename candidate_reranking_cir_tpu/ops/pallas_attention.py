@@ -35,10 +35,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float):
-    """One (batch, head) program: q [Lq, D], k/v [M_pad, D] -> o [Lq, D]."""
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
+    """One (batch, head) program: q [Lq, D], k/v [M_pad, D] -> o [Lq, D].
+    Refs are blocked [1, 1, L, D] out of the [B, H, L, D] layout."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -57,16 +58,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float):
     out = jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, kv_len: int,
                       scale: float):
     """Variant with an additive bias [Lq, M] (text self-attention masks)."""
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    bias = b_ref[0, :, :]
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    bias = b_ref[0]
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -84,12 +85,16 @@ def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, kv_len: int,
     out = jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool = False):
+def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
     """q [B, Lq, H, D]; k, v [B, M, H, D]; bias None or broadcastable
     [B, 1|H, Lq, M] additive. Returns [B, Lq, H, D]."""
+    if interpret is None:
+        # Mosaic kernels only compile for TPU; on CPU (tests, virtual mesh)
+        # fall back to the interpreter so the fused flag is portable
+        interpret = jax.default_backend() != "tpu"
     b, lq, h, d = q.shape
     m = k.shape[1]
     scale = d ** -0.5
@@ -98,20 +103,22 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool = False):
     lq_pad = _round_up(lq, sublane)
     m_pad = _round_up(m, 128)
 
-    if lq_pad != lq:
-        q = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, 0), (0, 0)))
-    if m_pad != m:
-        k = jnp.pad(k, ((0, 0), (0, m_pad - m), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, m_pad - m), (0, 0), (0, 0)))
+    # Mosaic wants the last two block dims tile-aligned: run in [B, H, L, D]
+    q = jnp.pad(q.transpose(0, 2, 1, 3),
+                ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
+    k = jnp.pad(k.transpose(0, 2, 1, 3),
+                ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+    v = jnp.pad(v.transpose(0, 2, 1, 3),
+                ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
 
     grid = (b, h)
-    q_spec = pl.BlockSpec((1, lq_pad, 1, d), lambda i, j: (i, 0, j, 0),
+    q_spec = pl.BlockSpec((1, 1, lq_pad, d), lambda i, j: (i, j, 0, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, m_pad, 1, d), lambda i, j: (i, 0, j, 0),
+    kv_spec = pl.BlockSpec((1, 1, m_pad, d), lambda i, j: (i, j, 0, 0),
                            memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, lq_pad, 1, d), lambda i, j: (i, 0, j, 0),
+    o_spec = pl.BlockSpec((1, 1, lq_pad, d), lambda i, j: (i, j, 0, 0),
                           memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((b, lq_pad, h, d), q.dtype)
+    out_shape = jax.ShapeDtypeStruct((b, h, lq_pad, d), q.dtype)
 
     cost = pl.CostEstimate(
         flops=2 * b * h * lq * m * d * 2,
@@ -145,7 +152,7 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool = False):
             interpret=interpret,
         )(q, k, v, bias3)
 
-    return out[:, :lq]
+    return out.transpose(0, 2, 1, 3)[:, :lq]
 
 
 def _xla_attention(q, k, v, bias):

@@ -35,6 +35,38 @@ def cosine_epoch_schedule(init_lr: float, min_lr: float, max_epoch: int,
     return schedule
 
 
+def warmup_schedule(init_lr: float, max_lr: float, max_step: int) -> Callable:
+    """Linear warmup (reference utils.py:223-228)."""
+
+    def schedule(step):
+        return jnp.minimum(max_lr,
+                           init_lr + (max_lr - init_lr) * step / max_step)
+
+    return schedule
+
+
+def step_epoch_schedule(init_lr: float, min_lr: float, decay_rate: float,
+                        steps_per_epoch: int) -> Callable:
+    """Stepwise exponential decay per epoch (reference utils.py:230-235)."""
+
+    def schedule(step):
+        epoch = jnp.floor_divide(step, max(steps_per_epoch, 1))
+        return jnp.maximum(min_lr, init_lr * decay_rate ** epoch)
+
+    return schedule
+
+
+def exp_epoch_schedule(init_lr: float, gamma: float,
+                       steps_per_epoch: int) -> Callable:
+    """Multiplicative per-epoch decay (reference utils.py:237-241)."""
+
+    def schedule(step):
+        epoch = jnp.floor_divide(step, max(steps_per_epoch, 1))
+        return init_lr * gamma ** epoch
+
+    return schedule
+
+
 def trainable_mask(params, freeze_prefixes: tuple[str, ...]):
     """True for trainable leaves; any path whose first components match one of
     ``freeze_prefixes`` (e.g. ('visual_encoder',)) is frozen."""

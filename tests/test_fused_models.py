@@ -1,0 +1,73 @@
+"""Model-level equivalence: fused_attention=True == default XLA attention."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from candidate_reranking_cir_tpu.config import TextEncoderConfig, ViTConfig
+from candidate_reranking_cir_tpu.models.dual_encoder import DualStreamEncoder
+from candidate_reranking_cir_tpu.models.med import TextEncoder
+from candidate_reranking_cir_tpu.models.vit import VisionTransformer
+
+
+def test_vit_fused_equals_xla():
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=32, num_layers=2,
+                    num_heads=2)
+    cfg_f = dataclasses.replace(cfg, fused_attention=True)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                       jnp.float32)
+    model = VisionTransformer(cfg)
+    params = model.init(jax.random.key(0), imgs)
+    ref = model.apply(params, imgs)
+    out = VisionTransformer(cfg_f).apply(params, imgs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_med_fused_equals_xla():
+    cfg = TextEncoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                            num_heads=2, intermediate_size=64,
+                            encoder_width=24, hidden_dropout=0.0,
+                            attention_dropout=0.0)
+    cfg_f = dataclasses.replace(cfg, fused_attention=True)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, 60, size=(2, 9)), jnp.int32)
+    mask = jnp.asarray([[1] * 9, [1] * 6 + [0] * 3], jnp.int32)
+    img = jnp.asarray(rng.normal(size=(2, 11, 24)), jnp.float32)
+    model = TextEncoder(cfg, "multimodal")
+    params = model.init(jax.random.key(0), ids, mask, img)
+    ref = model.apply(params, ids, mask, img)
+    out = TextEncoder(cfg_f, "multimodal").apply(params, ids, mask, img)
+    valid = np.asarray(mask, bool)
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               atol=3e-5)
+
+
+def test_dual_fused_equals_xla_both_layouts():
+    cfg = TextEncoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                            num_heads=2, intermediate_size=64,
+                            encoder_width=24, hidden_dropout=0.0,
+                            attention_dropout=0.0, merge_mlp_from=1)
+    cfg_f = dataclasses.replace(cfg, fused_attention=True)
+    rng = np.random.default_rng(2)
+    Q, C, L, M = 2, 3, 6, 9
+    ids = jnp.asarray(rng.integers(1, 60, size=(Q, L)), jnp.int32)
+    mask = jnp.asarray([[1] * L, [1] * 4 + [0] * (L - 4)], jnp.int32)
+    z_t = jnp.asarray(rng.normal(size=(Q, L, 32)), jnp.float32)
+    cand = jnp.asarray(rng.normal(size=(C, M, 24)), jnp.float32)
+
+    enc = DualStreamEncoder(cfg)
+    params = enc.init(jax.random.key(0), ids, mask, z_t, cand)
+    ref = enc.apply(params, ids, mask, z_t, cand, shared_candidates=True)
+
+    enc_f = DualStreamEncoder(cfg_f)
+    out_shared = enc_f.apply(params, ids, mask, z_t, cand,
+                             shared_candidates=True)
+    np.testing.assert_allclose(np.asarray(out_shared), np.asarray(ref),
+                               atol=3e-5)
+
+    grid = jnp.broadcast_to(cand[None], (Q, C, M, 24))
+    out_grid = enc_f.apply(params, ids, mask, z_t, grid,
+                           shared_candidates=False)
+    np.testing.assert_allclose(np.asarray(out_grid), np.asarray(ref),
+                               atol=3e-5)
