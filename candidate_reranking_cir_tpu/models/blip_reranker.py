@@ -69,3 +69,15 @@ class RerankerModel(nn.Module):
             input_ids, attention_mask, z_t, cand_feats,
             shared_candidates=False, deterministic=deterministic)
         return self._cls_scores(cls_pair)
+
+    def score_indexed(self, z_t, input_ids, attention_mask, unique_cand,
+                      pair_map, *, deterministic: bool = True):
+        """[Q, L, D] x unique [U, M, W] + pair_map [Q, K] -> [Q, K] scores.
+
+        Dedup evaluation path: candidate K/V projected once per unique
+        candidate in the chunk, gathered per (query, candidate) pair. Exactly
+        equal to score_per_query(z_t, ..., unique_cand[pair_map])."""
+        cls_pair = self.text_encoder(
+            input_ids, attention_mask, z_t, unique_cand, pair_map=pair_map,
+            deterministic=deterministic)
+        return self._cls_scores(cls_pair)

@@ -58,8 +58,8 @@ class DualLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, text_bias, cand, shared_candidates: bool = True,
-                 deterministic: bool = True):
+    def __call__(self, carry, text_bias, cand, pair_map=None,
+                 shared_candidates: bool = True, deterministic: bool = True):
         h0, h1 = carry
         cfg = self.cfg
 
@@ -85,6 +85,12 @@ class DualLayer(nn.Module):
                                name=f"cross_k{name}")(cand)
             v = HeadProjection(cfg.num_heads, cfg.head_dim, self.dtype,
                                name=f"cross_v{name}")(cand)
+            if pair_map is not None:
+                # indexed mode: cand is the chunk's UNIQUE candidates [U,...];
+                # K/V are projected once per unique candidate (the dominant
+                # FLOP term) and gathered into the [Q, C] pair grid
+                k = jnp.take(k, pair_map, axis=0)
+                v = jnp.take(v, pair_map, axis=0)
             rng = None
             if cfg.attention_dropout > 0.0 and not deterministic:
                 rng = self.make_rng("dropout")
@@ -134,12 +140,25 @@ class DualStreamEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, z_t, cand_feats, *,
-                 shared_candidates: bool = True, deterministic: bool = True):
+                 pair_map=None, shared_candidates: bool = True,
+                 deterministic: bool = True):
+        """Candidate layouts:
+        - shared_candidates=True:  cand_feats [C, M, W], all queries x all C
+        - shared_candidates=False: cand_feats [Q, C, M, W] per-pair
+        - pair_map [Q, C] int32 (+ shared_candidates=False): cand_feats holds
+          the chunk's U unique candidates [U, M, W]; cross-attn K/V are
+          projected once per unique candidate and gathered per pair — the
+          dedup path for evaluation where corpus images recur across queries'
+          top-K lists (CIRR val: each image appears in ~90 lists).
+        """
         cfg = self.cfg
         text_emb = BertEmbeddings(cfg, self.dtype, name="embeddings")(
             input_ids, deterministic=deterministic)
 
-        if shared_candidates:
+        if pair_map is not None:
+            num_cand = pair_map.shape[1]
+            shared_candidates = False
+        elif shared_candidates:
             num_cand = cand_feats.shape[0]
         else:
             num_cand = cand_feats.shape[1]
@@ -163,11 +182,11 @@ class DualStreamEncoder(nn.Module):
                 DualLayer,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast,) * 5,
                 length=length,
             )(cfg=cfg, merge_mlp=merge_mlp, dtype=self.dtype, name=name)
-            carry, _ = scanned(carry, text_bias, cand_feats, shared_candidates,
-                               deterministic)
+            carry, _ = scanned(carry, text_bias, cand_feats, pair_map,
+                               shared_candidates, deterministic)
             return carry
 
         h0, h1 = stack("layers_avg", False, n_avg, (h0, h1))

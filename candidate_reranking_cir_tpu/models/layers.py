@@ -109,6 +109,11 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     dropout_rate: float = 0.0
     fused: bool = False
+    # record attention probabilities into the 'intermediates' collection —
+    # the functional equivalent of the reference's save_attention_map hooks
+    # (vit.py:58-81, med.py:129-133); read back via
+    # model.apply(..., capture_intermediates=True) or mutable=['intermediates']
+    capture_attention: bool = False
 
     @nn.compact
     def __call__(self, x, y=None, bias=None, *, deterministic: bool = True):
@@ -119,10 +124,22 @@ class MultiHeadAttention(nn.Module):
         rng = None
         if self.dropout_rate > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
-        ctx = dot_product_attention(
-            q, k, v, bias,
-            dropout_rate=self.dropout_rate, dropout_rng=rng,
-            deterministic=deterministic, fused=self.fused)
+        if self.capture_attention:
+            scores = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores.astype(jnp.float32) * self.head_dim ** -0.5
+            if bias is not None:
+                scores = scores + bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1)
+            self.sow("intermediates", "attn_probs", probs)
+            ctx = jnp.einsum("...hqk,...khd->...qhd", probs.astype(self.dtype),
+                             v, preferred_element_type=jnp.float32
+                             ).astype(self.dtype)
+        else:
+            ctx = dot_product_attention(
+                q, k, v, bias,
+                dropout_rate=self.dropout_rate, dropout_rng=rng,
+                deterministic=deterministic, fused=self.fused)
         return HeadOutProjection(self.out_features, self.dtype, name="out")(ctx)
 
 

@@ -34,58 +34,45 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float):
-    """One (batch, head) program: q [Lq, D], k/v [M_pad, D] -> o [Lq, D].
-    Refs are blocked [1, 1, L, D] out of the [B, H, L, D] layout."""
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-
+def _head_attention(q, k, v, bias, kv_len: int, scale: float, out_dtype):
+    """[Lq, D] x [M_pad, D] -> [Lq, D]; exact fp32 softmax in VMEM."""
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-
-    m_pad = k.shape[0]
-    if m_pad != kv_len:
+    if bias is not None:
+        scores = scores + bias
+    if k.shape[0] != kv_len:
         key_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(key_idx < kv_len, scores, NEG_INF)
-
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    probs = jnp.exp(scores)
-    denom = jnp.sum(probs, axis=-1, keepdims=True)
-    probs = (probs / denom).astype(v.dtype)
-
-    out = jax.lax.dot_general(
-        probs, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
-
-
-def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, kv_len: int,
-                      scale: float):
-    """Variant with an additive bias [Lq, M] (text self-attention masks)."""
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    bias = b_ref[0]
-
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    scores = scores + bias.astype(jnp.float32)
-
-    m_pad = k.shape[0]
-    if m_pad != kv_len:
-        key_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(key_idx < kv_len, scores, NEG_INF)
-
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     probs = jnp.exp(scores)
     probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(v.dtype)
     out = jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    return out.astype(out_dtype)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float,
+                 num_heads: int):
+    """One program per batch entry, all heads looped inside (12x fewer
+    programs than a (batch, head) grid — per-program overhead dominated the
+    first design at these small shapes). Refs blocked [1, H, L, D]."""
+    for h in range(num_heads):
+        o_ref[0, h] = _head_attention(
+            q_ref[0, h], k_ref[0, h], v_ref[0, h], None, kv_len, scale,
+            o_ref.dtype)
+
+
+def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, kv_len: int,
+                      scale: float, num_heads: int):
+    """Variant with an additive bias [Lq, M] (text self-attention masks),
+    shared across heads."""
+    bias = b_ref[0].astype(jnp.float32)
+    for h in range(num_heads):
+        o_ref[0, h] = _head_attention(
+            q_ref[0, h], k_ref[0, h], v_ref[0, h], bias, kv_len, scale,
+            o_ref.dtype)
 
 
 def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
@@ -111,12 +98,12 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
     v = jnp.pad(v.transpose(0, 2, 1, 3),
                 ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
 
-    grid = (b, h)
-    q_spec = pl.BlockSpec((1, 1, lq_pad, d), lambda i, j: (i, j, 0, 0),
+    grid = (b,)
+    q_spec = pl.BlockSpec((1, h, lq_pad, d), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, 1, m_pad, d), lambda i, j: (i, j, 0, 0),
+    kv_spec = pl.BlockSpec((1, h, m_pad, d), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, 1, lq_pad, d), lambda i, j: (i, j, 0, 0),
+    o_spec = pl.BlockSpec((1, h, lq_pad, d), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, h, lq_pad, d), q.dtype)
 
@@ -127,7 +114,8 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
 
     if bias is None:
         out = pl.pallas_call(
-            functools.partial(_attn_kernel, kv_len=m, scale=scale),
+            functools.partial(_attn_kernel, kv_len=m, scale=scale,
+                              num_heads=h),
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=o_spec,
@@ -140,10 +128,11 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
         bias3 = jnp.broadcast_to(bias[:, 0] if bias.ndim == 4 else bias,
                                  (b, lq, m)).astype(jnp.float32)
         bias3 = jnp.pad(bias3, ((0, 0), (0, lq_pad - lq), (0, m_pad - m)))
-        b_spec = pl.BlockSpec((1, lq_pad, m_pad), lambda i, j: (i, 0, 0),
+        b_spec = pl.BlockSpec((1, lq_pad, m_pad), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            functools.partial(_attn_bias_kernel, kv_len=m, scale=scale),
+            functools.partial(_attn_bias_kernel, kv_len=m, scale=scale,
+                              num_heads=h),
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec, b_spec],
             out_specs=o_spec,

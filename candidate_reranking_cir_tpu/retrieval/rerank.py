@@ -43,7 +43,7 @@ class RerankOutput:
 
 
 def make_rerank_fns(stage1: RetrievalModel, reranker: RerankerModel):
-    """Jitted (z_t producer, [Qb, K] scorer) pair."""
+    """Jitted (z_t producer, [Qb, K] scorer, indexed scorer) triple."""
 
     @jax.jit
     def produce_zt(s1_params, ref_feats, ids, mask):
@@ -55,7 +55,20 @@ def make_rerank_fns(stage1: RetrievalModel, reranker: RerankerModel):
         return reranker.apply(s2_params, z_t, ids, mask, cand_feats,
                               method=RerankerModel.score_per_query)
 
-    return produce_zt, score
+    @jax.jit
+    def score_indexed(s2_params, z_t, ids, mask, unique_cand, pair_map):
+        return reranker.apply(s2_params, z_t, ids, mask, unique_cand,
+                              pair_map, method=RerankerModel.score_indexed)
+
+    return produce_zt, score, score_indexed
+
+
+def cluster_queries(cand_idx: np.ndarray, q_batch: int) -> np.ndarray:
+    """Order queries so chunks of q_batch share candidates (maximizes the
+    dedup win of the indexed scorer). Cheap heuristic: group by the top-1
+    candidate — CIRR/FIQ queries retrieving the same best candidate share
+    much of their top-K tail."""
+    return np.argsort(cand_idx[:, 0], kind="stable")
 
 
 def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
@@ -63,16 +76,25 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
            topk_names: np.ndarray, index_feats, index_names: list[str],
            text_len: int, q_batch: int = 8,
            skip_mask: np.ndarray | None = None,
-           group_members: list[list[str]] | None = None) -> RerankOutput:
+           group_members: list[list[str]] | None = None,
+           dedup: bool = False, dedup_cap: float = 0.625) -> RerankOutput:
     """Score every query's K candidates (and optional 5-member groups).
 
     index_feats: [N_idx, M, W] stage-II ViT features (device array).
     topk_names: [N, K] candidate names per query.
     skip_mask: [N] bool — True rows get SKIP_LOGIT instead of real scores.
+
+    dedup=True: queries are processed in a clustered order and each chunk's
+    candidate K/V projections run once per UNIQUE candidate (score_indexed)
+    when the chunk's unique count fits the static dedup_cap bucket; chunks
+    that don't compress fall back to the per-pair scorer. Output order is
+    unchanged (results are scattered back). Default OFF: measured on v5e,
+    XLA's gather materialization of the per-pair K/V outweighs the projection
+    FLOPs saved (662 vs 1860 triplets/s) — revisit with a manual-DMA kernel.
     """
     n = len(captions)
     k = topk_names.shape[1]
-    produce_zt, score = make_rerank_fns(stage1, reranker)
+    produce_zt, score, score_indexed = make_rerank_fns(stage1, reranker)
 
     pos = {name: i for i, name in enumerate(index_names)}
     ref_idx = np.asarray([pos[r] for r in reference_names], np.int32)
@@ -93,34 +115,40 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
     logits = np.empty((n, k), np.float32)
     grp_logits = np.empty((n, 5), np.float32) if do_groups else None
 
-    n_pad = (-n) % q_batch
-    for start in range(0, n + n_pad, q_batch):
-        sl = slice(start, min(start + q_batch, n))
-        count = sl.stop - sl.start
-        if count <= 0:
-            break
+    order = (cluster_queries(cand_idx, q_batch) if dedup and n > q_batch
+             else np.arange(n))
+    u_cap = max(int(q_batch * k * dedup_cap) // 64 * 64, 64)
 
-        def pad(x):
-            if count == q_batch:
-                return x[sl]
-            reps = np.concatenate(
-                [x[sl], np.repeat(x[sl.start:sl.start + 1],
-                                  q_batch - count, axis=0)])
-            return reps
+    for start in range(0, n, q_batch):
+        rows = order[start:start + q_batch]
+        count = len(rows)
+        if count < q_batch:  # pad the tail chunk with repeats
+            rows = np.concatenate(
+                [rows, np.repeat(rows[:1], q_batch - count)])
 
-        ids = jnp.asarray(pad(ids_all))
-        msk = jnp.asarray(pad(mask_all))
-        refs = jnp.take(index_feats, jnp.asarray(pad(ref_idx)), axis=0)
+        ids = jnp.asarray(ids_all[rows])
+        msk = jnp.asarray(mask_all[rows])
+        refs = jnp.take(index_feats, jnp.asarray(ref_idx[rows]), axis=0)
         z_t = produce_zt(s1_params, refs, ids, msk)
 
-        cands = jnp.take(index_feats, jnp.asarray(pad(cand_idx)), axis=0)
-        out = score(s2_params, z_t, ids, msk, cands)
-        logits[sl] = np.asarray(out[:count], np.float32)
+        chunk_cand = cand_idx[rows]
+        uniq, inv = np.unique(chunk_cand, return_inverse=True)
+        if dedup and len(uniq) <= u_cap:
+            pad_uniq = np.pad(uniq, (0, u_cap - len(uniq)))
+            unique_feats = jnp.take(index_feats, jnp.asarray(pad_uniq),
+                                    axis=0)
+            pair_map = jnp.asarray(inv.reshape(chunk_cand.shape), jnp.int32)
+            out = score_indexed(s2_params, z_t, ids, msk, unique_feats,
+                                pair_map)
+        else:
+            cands = jnp.take(index_feats, jnp.asarray(chunk_cand), axis=0)
+            out = score(s2_params, z_t, ids, msk, cands)
+        logits[rows[:count]] = np.asarray(out[:count], np.float32)
 
         if do_groups:
-            gcands = jnp.take(index_feats, jnp.asarray(pad(grp_idx)), axis=0)
+            gcands = jnp.take(index_feats, jnp.asarray(grp_idx[rows]), axis=0)
             gout = score(s2_params, z_t, ids, msk, gcands)
-            grp_logits[sl] = np.asarray(gout[:count], np.float32)
+            grp_logits[rows[:count]] = np.asarray(gout[:count], np.float32)
 
     if skip_mask is not None:
         logits[np.asarray(skip_mask, bool)] = SKIP_LOGIT

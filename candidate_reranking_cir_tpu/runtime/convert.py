@@ -304,6 +304,63 @@ def convert_dual_encoder(sd: dict, prefix: str, num_layers: int,
     return out
 
 
+def convert_vit_npz(path_or_dict, num_layers: int, num_patches: int) -> dict:
+    """Import an original JAX/Flax ViT checkpoint (.npz from
+    google-research/vision_transformer) — the capability of the reference's
+    ``_load_weights`` (vit.py:201-278). The npz stores kernels in exactly this
+    framework's multi-head layout ([in, heads, head_dim]), so this is mostly a
+    key re-map plus pos-embed interpolation.
+    """
+    if isinstance(path_or_dict, (str,)) or hasattr(path_or_dict, "read"):
+        w = dict(np.load(path_or_dict))
+    else:
+        w = dict(path_or_dict)
+    pre = "Transformer/"
+
+    conv = w["embedding/kernel"]  # [P, P, 3, D]
+    p, _, c, dmodel = conv.shape
+    patch = {"proj": {"kernel": conv.reshape(p * p * c, dmodel),
+                      "bias": w["embedding/bias"]}}
+
+    layers = []
+    for i in range(num_layers):
+        b = f"{pre}encoderblock_{i}/"
+        a = b + "MultiHeadDotProductAttention_1/"
+        heads = w[a + "query/kernel"].shape[1]
+        layers.append({
+            "norm1": {"scale": w[b + "LayerNorm_0/scale"],
+                      "bias": w[b + "LayerNorm_0/bias"]},
+            "attn": {
+                "query": {"kernel": w[a + "query/kernel"],
+                          "bias": w[a + "query/bias"]},
+                "key": {"kernel": w[a + "key/kernel"],
+                        "bias": w[a + "key/bias"]},
+                "value": {"kernel": w[a + "value/kernel"],
+                          "bias": w[a + "value/bias"]},
+                "out": {"kernel": w[a + "out/kernel"],
+                        "bias": w[a + "out/bias"]},
+            },
+            "norm2": {"scale": w[b + "LayerNorm_2/scale"],
+                      "bias": w[b + "LayerNorm_2/bias"]},
+            "mlp": {
+                "fc1": {"kernel": w[b + "MlpBlock_3/Dense_0/kernel"],
+                        "bias": w[b + "MlpBlock_3/Dense_0/bias"]},
+                "fc2": {"kernel": w[b + "MlpBlock_3/Dense_1/kernel"],
+                        "bias": w[b + "MlpBlock_3/Dense_1/bias"]},
+            },
+        })
+
+    return {
+        "patch_embed": patch,
+        "cls_token": w["cls"],
+        "pos_embed": interpolate_pos_embed(
+            w[f"{pre}posembed_input/pos_embedding"], num_patches),
+        "blocks": _stack(layers),
+        "norm": {"scale": w[f"{pre}encoder_norm/scale"],
+                 "bias": w[f"{pre}encoder_norm/bias"]},
+    }
+
+
 # ---------------------------------------------------------------------------
 # full models
 

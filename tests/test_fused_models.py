@@ -71,3 +71,40 @@ def test_dual_fused_equals_xla_both_layouts():
                            shared_candidates=False)
     np.testing.assert_allclose(np.asarray(out_grid), np.asarray(ref),
                                atol=3e-5)
+
+
+def test_dual_indexed_equals_per_pair():
+    """score_indexed (unique candidates + pair_map) == per-pair grid."""
+    import jax
+
+    from candidate_reranking_cir_tpu.config import (
+        RerankerModelConfig,
+        ViTConfig,
+    )
+    from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+
+    text = TextEncoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                             num_heads=2, intermediate_size=64,
+                             encoder_width=24, hidden_dropout=0.0,
+                             attention_dropout=0.0, merge_mlp_from=1)
+    cfg = RerankerModelConfig(
+        vit=ViTConfig(image_size=16, patch_size=8, hidden_size=24,
+                      num_layers=1, num_heads=2),
+        text=text, text_len=6)
+    model = RerankerModel(cfg)
+    rng = np.random.default_rng(5)
+    Q, K, U, M = 3, 4, 5, 9
+    ids = jnp.asarray(rng.integers(1, 60, size=(Q, 6)), jnp.int32)
+    mask = jnp.ones((Q, 6), jnp.int32)
+    z_t = jnp.asarray(rng.normal(size=(Q, 6, 32)), jnp.float32)
+    unique = jnp.asarray(rng.normal(size=(U, M, 24)), jnp.float32)
+    pair_map = jnp.asarray(rng.integers(0, U, size=(Q, K)), jnp.int32)
+
+    imgs = jnp.zeros((2, 16, 16, 3))
+    params = model.init(jax.random.key(0), imgs, ids[:2], mask[:2], z_t[:2])
+
+    ref = model.apply(params, z_t, ids, mask, unique[pair_map],
+                      method=RerankerModel.score_per_query)
+    out = model.apply(params, z_t, ids, mask, unique, pair_map,
+                      method=RerankerModel.score_indexed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
