@@ -49,9 +49,6 @@ def main():
         jnp.bfloat16)
 
     # initialize only the text path (no ViT needed for the scoring benchmark)
-    from candidate_reranking_cir_tpu.models.dual_encoder import DualStreamEncoder
-    from candidate_reranking_cir_tpu.models.layers import Dense
-
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.key(0), z_t, ids, mask, cand,
                            method=RerankerModel.score_per_query))

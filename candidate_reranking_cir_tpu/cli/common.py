@@ -64,7 +64,7 @@ def build_stage1(args, *, remat: bool = False):
 
     vit = (ViTConfig(**{"remat": remat, **ov["vit"]}) if "vit" in ov
            else vit_config(args.vit, args.image_size, remat=remat))
-    text = TextEncoderConfig(**ov.get("text", {}))
+    text = TextEncoderConfig(**{"remat": remat, **ov.get("text", {})})
     cfg = RetrievalModelConfig(vit=vit, text=text,
                                embed_dim=ov.get("embed_dim", 256),
                                text_len=args.text_len)
@@ -79,7 +79,7 @@ def build_stage2(args, *, remat: bool = False):
     vit = (ViTConfig(**{"remat": remat, **ov["vit"]}) if "vit" in ov
            else vit_config(args.vit, args.image_size, drop_path_rate=0.1,
                            remat=remat))
-    text = TextEncoderConfig(**ov.get("text", {}))
+    text = TextEncoderConfig(**{"remat": remat, **ov.get("text", {})})
     cfg = RerankerModelConfig(vit=vit, text=text, text_len=args.text_len)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     return RerankerModel(cfg, dtype=dtype), cfg

@@ -92,7 +92,7 @@ def main(argv=None):
     dataset_name = args.dataset.lower()
     assert dataset_name in ("cirr", "fashioniq")
 
-    model, cfg = build_stage1(args, remat=args.blip_img_tune)
+    model, cfg = build_stage1(args, remat=True)
     tokenizer = get_tokenizer(args)
     transform = get_transform(args)
 

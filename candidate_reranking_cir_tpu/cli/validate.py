@@ -88,11 +88,12 @@ def main(argv=None):
             r10s.append(result.metrics["recall_at10"])
             r50s.append(result.metrics["recall_at50"])
             if payload is not None:
-                out = (args.topk_out or
-                       f"fiq_top_{args.k}_{split}_{dress}.npz")
-                if args.topk_out and len(["shirt", "dress", "toptee"]) > 1:
-                    out = str(Path(args.topk_out).with_suffix("")) + \
-                        f"_{dress}.npz"
+                if args.topk_out:
+                    # one file per category: suffix the requested stem
+                    out = (str(Path(args.topk_out).with_suffix(""))
+                           + f"_{dress}.npz")
+                else:
+                    out = f"fiq_top_{args.k}_{split}_{dress}.npz"
                 save_topk_file(out, payload)
                 print(f"top {args.k} saved at {out}.")
         print(f"\naverage recall10 = {mean(r10s):.2f}")

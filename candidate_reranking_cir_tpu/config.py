@@ -35,6 +35,10 @@ class TextEncoderConfig:
     merge_mlp_from: int = 6
     # route attention through the Pallas VMEM-resident kernel where eligible
     fused_attention: bool = False
+    # rematerialize each layer in backward (required to train the pair-grid
+    # dual encoder on one chip: saved attention scores otherwise need ~50 GB,
+    # the same blow-up that costs the reference ~70 GB on A100)
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:

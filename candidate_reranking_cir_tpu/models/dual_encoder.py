@@ -178,8 +178,14 @@ class DualStreamEncoder(nn.Module):
         def stack(name, merge_mlp, length, carry):
             if length == 0:
                 return carry
+            layer = DualLayer
+            if cfg.remat:
+                # shared_candidates / deterministic are static (args 5, 6
+                # counting the module instance as arg 0)
+                layer = nn.remat(layer, static_argnums=(5, 6),
+                                 prevent_cse=False)
             scanned = nn.scan(
-                DualLayer,
+                layer,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast,) * 5,

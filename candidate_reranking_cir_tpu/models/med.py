@@ -132,8 +132,12 @@ class TextEncoder(nn.Module):
         else:
             image_embeds, image_bias = None, None
 
+        layer = MedLayer
+        if cfg.remat:
+            # deterministic is a static python bool (arg 5 incl. module)
+            layer = nn.remat(layer, static_argnums=(5,), prevent_cse=False)
         stack = nn.scan(
-            MedLayer,
+            layer,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),

@@ -112,7 +112,8 @@ class VisionTransformer(nn.Module):
 
         block = ViTBlock
         if cfg.remat:
-            block = nn.remat(block, static_argnums=(2,), prevent_cse=False)
+            # flax passes the module as arg 0 to the wrapped fn: indices +1
+            block = nn.remat(block, static_argnums=(3,), prevent_cse=False)
         stack = nn.scan(
             block,
             variable_axes={"params": 0},

@@ -22,8 +22,6 @@ compute (same numbers, no dynamic shapes).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,10 +152,10 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
         logits[np.asarray(skip_mask, bool)] = SKIP_LOGIT
 
     # descending sort; stable on the negated scores for deterministic ties
-    order = np.argsort(-logits, axis=-1, kind="stable")
+    rank_order = np.argsort(-logits, axis=-1, kind="stable")
     group_order = (np.argsort(-grp_logits, axis=-1, kind="stable")
                    if do_groups else None)
-    return RerankOutput(logits, grp_logits, order, group_order)
+    return RerankOutput(logits, grp_logits, rank_order, group_order)
 
 
 def cirr_group_labels(members_no_ref: list[list[str]], group_order: np.ndarray,

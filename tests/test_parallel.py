@@ -161,3 +161,35 @@ def test_sharded_topk_matches_global():
     np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_rerank_scoring_sharded_over_queries():
+    """Stage-II [Q, K] scoring with the query axis sharded across the mesh:
+    multi-chip eval is one jit with sharded inputs, numerically equal to
+    single-device."""
+    import dataclasses
+
+    mesh = make_mesh()
+    s2 = RerankerModel(S2)
+    rng = np.random.default_rng(7)
+    Q, K, L, M = 8, 4, 6, 5  # Q divisible by 8 devices
+    ids = jnp.asarray(rng.integers(4, 60, size=(Q, L)), jnp.int32)
+    mask = jnp.ones((Q, L), jnp.int32)
+    z_t = jnp.asarray(rng.normal(size=(Q, L, TEXT.hidden_size)), jnp.float32)
+    cand = jnp.asarray(rng.normal(size=(Q, K, M, TEXT.encoder_width)),
+                       jnp.float32)
+    imgs = jnp.zeros((2, 16, 16, 3))
+    params = s2.init(jax.random.key(0), imgs, ids[:2], mask[:2], z_t[:2])
+
+    @jax.jit
+    def score(params, z_t, ids, mask, cand):
+        return s2.apply(params, z_t, ids, mask, cand,
+                        method=RerankerModel.score_per_query)
+
+    ref = score(params, z_t, ids, mask, cand)
+
+    with jax.set_mesh(mesh):
+        params_r = jax.device_put(params, replicated(mesh))
+        batch = shard_batch(mesh, {"z": z_t, "i": ids, "m": mask, "c": cand})
+        out = score(params_r, batch["z"], batch["i"], batch["m"], batch["c"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -30,8 +30,13 @@ def rand_params(shapes, key):
         for k, s in zip(keys, leaves)])
 
 def main():
+    import dataclasses
+    from candidate_reranking_cir_tpu.config import TextEncoderConfig, ViTConfig, vit_config
     s1_cfg = RetrievalModelConfig()
-    s2_cfg = RerankerModelConfig()
+    # training config: remat everywhere (required to fit the backward on chip)
+    s2_cfg = RerankerModelConfig(
+        vit=vit_config("base", 384, drop_path_rate=0.1, remat=True),
+        text=TextEncoderConfig(remat=True))
     bf = jnp.bfloat16
     s1 = RetrievalModel(s1_cfg, dtype=bf)
     s2 = RerankerModel(s2_cfg, dtype=bf)
@@ -58,7 +63,7 @@ def main():
 
     tx, _ = make_optimizer(TrainConfig(batch_size=B), s2_params, 100)
     state = TrainState.create(s2_params, tx)
-    step = make_stage2_train_step(s1, s2, donate=False)
+    step = make_stage2_train_step(s1, s2, donate=True)
 
     @jax.jit
     def trivial(x): return x + 1.0
@@ -68,16 +73,15 @@ def main():
         float(trivial(jnp.zeros(())))
     rtt = (time.perf_counter() - t0) / 5
 
-    # warm: one step (compile)
-    state2, loss = step(state, s1_params, batch, jax.random.key(3))
+    # warm: one step (compile); state is donated so always thread it
+    state, loss = step(state, s1_params, batch, jax.random.key(3))
     print(f"loss after 1 step: {float(loss):.4f} (ln {B} = {np.log(B):.4f})",
           flush=True)
 
     # timed: ITERS dependent steps (state threads through -> no overlap dodge)
     t0 = time.perf_counter()
-    st = state
     for _ in range(ITERS):
-        st, loss = step(st, s1_params, batch, jax.random.key(4))
+        state, loss = step(state, s1_params, batch, jax.random.key(4))
     lv = float(loss)  # D2H sync
     dt = max(time.perf_counter() - t0 - rtt, 1e-9) / ITERS
     print(f"stage2 train step B={B} ({B*B} triplets): {dt*1e3:.1f} ms "
