@@ -51,15 +51,13 @@ def main():
         "attention_mask": jnp.ones((B, L), jnp.int32),
     }
 
-    s1_shapes = jax.eval_shape(lambda: s1.init(
-        jax.random.key(0), batch["ref_images"][:2], batch["input_ids"][:2],
-        batch["attention_mask"][:2]))
-    s1_params = rand_params(s1_shapes, jax.random.key(1))
+    # real init (LayerNorm scales at 1 etc.) so the loss trajectory is sane
+    s1_params = s1.init(jax.random.key(1), batch["ref_images"][:2],
+                        batch["input_ids"][:2], batch["attention_mask"][:2])
     z_dummy = jnp.zeros((2, L, s2_cfg.text.hidden_size))
-    s2_shapes = jax.eval_shape(lambda: s2.init(
-        jax.random.key(0), batch["target_images"][:2], batch["input_ids"][:2],
-        batch["attention_mask"][:2], z_dummy))
-    s2_params = rand_params(s2_shapes, jax.random.key(2))
+    s2_params = s2.init(jax.random.key(2), batch["target_images"][:2],
+                        batch["input_ids"][:2], batch["attention_mask"][:2],
+                        z_dummy)
 
     tx, _ = make_optimizer(TrainConfig(batch_size=B), s2_params, 100)
     state = TrainState.create(s2_params, tx)
