@@ -33,7 +33,7 @@ from candidate_reranking_cir_tpu.data.datasets import (
 )
 from candidate_reranking_cir_tpu.data.loader import BatchLoader, prefetch
 from candidate_reranking_cir_tpu.parallel.mesh import (
-    make_mesh,
+    make_mesh_for_batch,
     replicated,
     shard_batch,
 )
@@ -131,7 +131,7 @@ def main(argv=None):
                                   freeze_prefixes=freeze)
     state = TrainState.create(params, tx)
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(args.batch_size)
     training_path = Path(args.output_dir) / args.experiment_name
     start_epoch = 0
     if args.resume:

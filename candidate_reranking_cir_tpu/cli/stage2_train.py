@@ -31,7 +31,7 @@ from candidate_reranking_cir_tpu.data.datasets import (
 )
 from candidate_reranking_cir_tpu.data.loader import BatchLoader, prefetch
 from candidate_reranking_cir_tpu.parallel.mesh import (
-    make_mesh,
+    make_mesh_for_batch,
     replicated,
     shard_batch,
 )
@@ -115,7 +115,7 @@ def main(argv=None):
     tx, schedule = make_optimizer(train_cfg, s2_params, steps_per_epoch)
     state = TrainState.create(s2_params, tx)
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(args.batch_size)
     training_path = Path(args.output_dir) / args.experiment_name
     start_epoch = 0
     if args.resume:
@@ -184,7 +184,7 @@ def run_validation(args, stage1, s1_params, reranker, state, tokenizer,
             data_root=args.data_root, transform=transform,
             top_k_path=args.top_k_path, k=args.k_value,
             text_len=args.text_len)
-        selection = (mets["recall_at5"] + mets["group_recall_at1"]) / 2
+        selection = mets["mean_r5_rs1"]
         ckpt_name = "blip_mean"
     else:
         mets = evaluate_fiq_stage2(

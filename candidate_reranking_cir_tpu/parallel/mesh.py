@@ -21,6 +21,17 @@ def make_mesh(devices=None, data_axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (data_axis,))
 
 
+def make_mesh_for_batch(batch_size: int, devices=None,
+                        data_axis: str = "data") -> Mesh:
+    """Mesh over the largest device count that divides batch_size (a batch
+    smaller than the device count cannot shard its leading dim)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (data_axis,))
+
+
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim, replicate the rest."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))

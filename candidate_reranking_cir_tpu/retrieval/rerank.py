@@ -113,9 +113,17 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
     logits = np.empty((n, k), np.float32)
     grp_logits = np.empty((n, 5), np.float32) if do_groups else None
 
+    # CIRR group members ride in the same scorer call as the top-K
+    # candidates ([Q, K+5] pair grid) — one program per chunk instead of two
+    if do_groups:
+        cand_idx_all = np.concatenate([cand_idx, grp_idx], axis=1)
+    else:
+        cand_idx_all = cand_idx
+
     order = (cluster_queries(cand_idx, q_batch) if dedup and n > q_batch
              else np.arange(n))
-    u_cap = max(int(q_batch * k * dedup_cap) // 64 * 64, 64)
+    width = cand_idx_all.shape[1]
+    u_cap = max(int(q_batch * width * dedup_cap) // 64 * 64, 64)
 
     for start in range(0, n, q_batch):
         rows = order[start:start + q_batch]
@@ -129,7 +137,7 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
         refs = jnp.take(index_feats, jnp.asarray(ref_idx[rows]), axis=0)
         z_t = produce_zt(s1_params, refs, ids, msk)
 
-        chunk_cand = cand_idx[rows]
+        chunk_cand = cand_idx_all[rows]
         uniq, inv = np.unique(chunk_cand, return_inverse=True)
         if dedup and len(uniq) <= u_cap:
             pad_uniq = np.pad(uniq, (0, u_cap - len(uniq)))
@@ -141,12 +149,10 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
         else:
             cands = jnp.take(index_feats, jnp.asarray(chunk_cand), axis=0)
             out = score(s2_params, z_t, ids, msk, cands)
-        logits[rows[:count]] = np.asarray(out[:count], np.float32)
-
+        out = np.asarray(out[:count], np.float32)
+        logits[rows[:count]] = out[:, :k]
         if do_groups:
-            gcands = jnp.take(index_feats, jnp.asarray(grp_idx[rows]), axis=0)
-            gout = score(s2_params, z_t, ids, msk, gcands)
-            grp_logits[rows[:count]] = np.asarray(gout[:count], np.float32)
+            grp_logits[rows[:count]] = out[:, k:]
 
     if skip_mask is not None:
         logits[np.asarray(skip_mask, bool)] = SKIP_LOGIT
