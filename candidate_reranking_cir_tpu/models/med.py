@@ -105,6 +105,8 @@ class TextEncoder(nn.Module):
 
     mode='text': pure text self-attention stack.
     mode='multimodal': each layer cross-attends to ``image_embeds`` [B, M, W].
+    causal=True adds a lower-triangular mask on top of the padding mask —
+    the reference's decoder mode (med.py:739-758); used by the captioner.
 
     Returns last_hidden_state [B, L, D].
     """
@@ -115,13 +117,18 @@ class TextEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, image_embeds=None,
-                 image_mask=None, *, deterministic: bool = True):
+                 image_mask=None, *, causal: bool = False,
+                 deterministic: bool = True):
         cfg = self.cfg
         multimodal = self.mode == "multimodal"
         x = BertEmbeddings(cfg, self.dtype, name="embeddings")(
             input_ids, deterministic=deterministic)
 
         text_bias = make_additive_mask(attention_mask, jnp.float32)
+        if causal:
+            length = input_ids.shape[-1]
+            tri = jnp.tril(jnp.ones((length, length), jnp.float32))
+            text_bias = text_bias + (1.0 - tri)[None, None] * -10000.0
         if multimodal:
             assert image_embeds is not None, "multimodal mode needs image_embeds"
             image_embeds = image_embeds.astype(self.dtype)

@@ -365,6 +365,33 @@ def convert_vit_npz(path_or_dict, num_layers: int, num_patches: int) -> dict:
 # full models
 
 
+def convert_lm_head(sd: dict, prefix: str = "cls.predictions") -> dict:
+    """BertLMPredictionHead keys (med.py:825-969 family) -> BertLMHead params.
+    The reference ties decoder.bias to a standalone `bias` parameter."""
+    bias = sd.get(f"{prefix}.bias", sd.get(f"{prefix}.decoder.bias"))
+    return {
+        "transform": _dense(sd, f"{prefix}.transform.dense"),
+        "ln": _ln(sd, f"{prefix}.transform.LayerNorm"),
+        "decoder": {
+            "kernel": np.ascontiguousarray(sd[f"{prefix}.decoder.weight"].T),
+            "bias": bias,
+        },
+    }
+
+
+def convert_caption_decoder(sd: dict, cfg) -> dict:
+    """Flat torch BLIP_Decoder state dict -> CaptionDecoder params."""
+    params = {
+        "visual_encoder": convert_vit(
+            sd, "visual_encoder", cfg.vit.num_layers, cfg.vit.num_heads,
+            cfg.vit.num_patches),
+        "text_decoder": convert_med(
+            sd, "text_decoder.bert", cfg.text.num_layers, cfg.text.num_heads),
+        "lm_head": convert_lm_head(sd, "text_decoder.cls.predictions"),
+    }
+    return {"params": params}
+
+
 def convert_stage1(sd: dict, cfg) -> dict:
     """Flat torch BLIP_Retrieval state dict -> RetrievalModel params."""
     params = {

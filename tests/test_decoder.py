@@ -1,0 +1,70 @@
+"""Caption decoder: causal masking semantics and greedy decoding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from candidate_reranking_cir_tpu.config import (
+    RetrievalModelConfig,
+    TextEncoderConfig,
+    ViTConfig,
+)
+from candidate_reranking_cir_tpu.models.blip_decoder import (
+    CaptionDecoder,
+    greedy_caption,
+)
+from candidate_reranking_cir_tpu.models.med import TextEncoder
+
+CFG = RetrievalModelConfig(
+    vit=ViTConfig(image_size=16, patch_size=8, hidden_size=24, num_layers=1,
+                  num_heads=2),
+    text=TextEncoderConfig(vocab_size=48, hidden_size=24, num_layers=2,
+                           num_heads=2, intermediate_size=48,
+                           encoder_width=24, hidden_dropout=0.0,
+                           attention_dropout=0.0),
+    text_len=8)
+
+
+def test_causal_mask_prefix_invariance():
+    """With causal masking, logits at position t must not depend on tokens
+    after t."""
+    cfg = CFG.text
+    enc = TextEncoder(cfg, "multimodal")
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 5, 24)), jnp.float32)
+    ids1 = jnp.asarray([[3, 7, 9, 11, 13, 15]], jnp.int32)
+    ids2 = jnp.asarray([[3, 7, 9, 40, 41, 42]], jnp.int32)  # differ after t=2
+    mask = jnp.ones((1, 6), jnp.int32)
+    params = enc.init(jax.random.key(0), ids1, mask, img)
+    h1 = enc.apply(params, ids1, mask, img, causal=True)
+    h2 = enc.apply(params, ids2, mask, img, causal=True)
+    np.testing.assert_allclose(np.asarray(h1[:, :3]), np.asarray(h2[:, :3]),
+                               atol=1e-5)
+    # non-causal: position 0 DOES see the suffix
+    g1 = enc.apply(params, ids1, mask, img, causal=False)
+    g2 = enc.apply(params, ids2, mask, img, causal=False)
+    assert np.abs(np.asarray(g1[:, 0]) - np.asarray(g2[:, 0])).max() > 1e-4
+
+
+def test_greedy_caption_shapes_and_eos():
+    model = CaptionDecoder(CFG)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.key(0), images, ids, mask)
+
+    logits = model.apply(params, images, ids, mask)
+    assert logits.shape == (2, 8, 48)
+
+    feats = model.apply(params, images,
+                        method=lambda m, im: m.visual_encoder(im))
+    out = greedy_caption(model, params, feats, bos_id=2, eos_id=3, pad_id=0,
+                         max_len=6)
+    out = np.asarray(out)
+    assert out.shape == (2, 6)
+    assert (out[:, 0] == 2).all()
+    # after an eos, everything is pad
+    for row in out:
+        hits = np.where(row == 3)[0]
+        if len(hits):
+            assert (row[hits[0] + 1:] == 0).all()
