@@ -64,6 +64,9 @@ def parse_args(argv=None):
     parser.add_argument("--blip-max-epoch", default=80, type=int)
     parser.add_argument("--blip-learning-rate", default=2e-5, type=float)
     parser.add_argument("--batch-size", default=16, type=int)
+    parser.add_argument("--blip-img-tune", action="store_true",
+                        help="finetune the stage-II ViT (default: frozen "
+                             "feature extractor, stage2_train.py:445-452)")
     parser.add_argument("--grad-accumulation-step", default=1, type=int)
     parser.add_argument("--validation-frequency", default=1, type=int)
     parser.add_argument("--weight-decay", default=0.05, type=float)
@@ -126,7 +129,8 @@ def main(argv=None):
     logger = MetricsLogger(training_path, args.experiment_name, vars(args))
     comet = make_comet(args.api_key or None, args.workspace or None,
                        f"cir-stage2-{dataset_name}", args.experiment_name)
-    step_fn = make_stage2_train_step(stage1, reranker)
+    step_fn = make_stage2_train_step(stage1, reranker,
+                                     finetune_vit=args.blip_img_tune)
     drop_rng = jax.random.key(args.seed)
 
     best_metric = -1.0

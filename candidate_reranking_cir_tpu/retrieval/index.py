@@ -36,15 +36,21 @@ def iter_batches(dataset, batch_size: int) -> Iterable[tuple[list[str], np.ndarr
 
 
 def build_index(dataset, embed_fn: Callable, batch_size: int = 32, *,
-                pooled: bool = True, feature_dtype=jnp.bfloat16):
+                pooled: bool = True, feature_dtype=jnp.bfloat16, mesh=None):
     """Embed the whole corpus.
 
     embed_fn: [B, H, W, 3] -> raw [B, M, D] or (raw, pooled[B, E]) jitted fn
     (fixed B — short batches are padded then trimmed).
 
+    mesh: optional jax Mesh — the image batch is sharded over the data axis
+    so every chip embeds its slice of the corpus (multi-chip index build;
+    batch_size must divide by the mesh size).
+
     Returns (raw [N, M, D] feature_dtype on device, pooled [N, E] fp32 or None,
     names list).
     """
+    from candidate_reranking_cir_tpu.parallel.mesh import batch_sharding
+
     raw_chunks, pooled_chunks, names_all = [], [], []
     for names, images in iter_batches(dataset, batch_size):
         valid = len(names)
@@ -52,6 +58,8 @@ def build_index(dataset, embed_fn: Callable, batch_size: int = 32, *,
             pad = np.zeros((batch_size - valid, *images.shape[1:]),
                            images.dtype)
             images = np.concatenate([images, pad])
+        if mesh is not None:
+            images = jax.device_put(images, batch_sharding(mesh, 4))
         out = embed_fn(images)
         if pooled:
             raw, pool = out

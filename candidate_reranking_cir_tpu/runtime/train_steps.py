@@ -117,26 +117,37 @@ def stage2_loss(reranker: RerankerModel, params, z_t, tgt_feats, batch, rngs):
 
 
 def make_stage2_train_step(stage1: RetrievalModel, reranker: RerankerModel, *,
-                           donate: bool = True):
-    """The full reference pipeline of stage2_train.py:445-479 in ONE program:
-    frozen stage-I reference embedding + z_t fusion, stage-II target embedding,
-    pair-grid scoring, CE, update."""
+                           finetune_vit: bool = False, donate: bool = True):
+    """The full reference pipeline of stage2_train.py:440-479 in ONE program.
+
+    Feature sourcing matches the reference exactly: the STAGE-II model's ViT
+    embeds both reference and target images (stage2_train.py:445-460) — under
+    no_grad unless --blip-img-tune — and the frozen stage-I MED fuses those
+    reference features into z_t (stage2_train.py:462-464). Gradients reach
+    only the dual text encoder + cls head by default."""
 
     def step(state: TrainState, stage1_params, batch, dropout_rng):
         rng = jax.random.fold_in(dropout_rng, state.step)
         s1 = jax.lax.stop_gradient(stage1_params)
-        ref_feats = stage1.apply(s1, batch["ref_images"],
-                                 method=RetrievalModel.embed_images)
-        z_t = stage1.apply(s1, ref_feats, batch["input_ids"],
-                           batch["attention_mask"], return_raw=True,
-                           method=RetrievalModel.fuse)
-        z_t = jax.lax.stop_gradient(z_t)
+
+        def embed(params, images, train):
+            return reranker.apply(params, images, deterministic=not train,
+                                  rngs={"dropout": rng} if train else None,
+                                  method=RerankerModel.embed_images)
 
         def loss_fn(params):
-            tgt_feats = reranker.apply(params, batch["target_images"],
-                                       deterministic=False,
-                                       rngs={"dropout": rng},
-                                       method=RerankerModel.embed_images)
+            if finetune_vit:
+                ref_feats = embed(params, batch["ref_images"], True)
+                tgt_feats = embed(params, batch["target_images"], True)
+            else:
+                frozen = jax.lax.stop_gradient(params)
+                ref_feats = embed(frozen, batch["ref_images"], False)
+                tgt_feats = jax.lax.stop_gradient(
+                    embed(frozen, batch["target_images"], False))
+            z_t = stage1.apply(s1, ref_feats, batch["input_ids"],
+                               batch["attention_mask"], return_raw=True,
+                               method=RetrievalModel.fuse)
+            z_t = jax.lax.stop_gradient(z_t)
             loss, _ = stage2_loss(reranker, params, z_t, tgt_feats, batch,
                                   {"dropout": rng})
             return loss

@@ -193,3 +193,51 @@ def test_rerank_scoring_sharded_over_queries():
         batch = shard_batch(mesh, {"z": z_t, "i": ids, "m": mask, "c": cand})
         out = score(params_r, batch["z"], batch["i"], batch["m"], batch["c"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_build_index_sharded_over_mesh():
+    """Corpus embedding with the batch sharded across the 8-device mesh
+    equals the single-device result."""
+    from candidate_reranking_cir_tpu.retrieval.index import build_index
+
+    class SyntheticClassic:
+        def __init__(self, n):
+            rng = np.random.default_rng(11)
+            self.items = [
+                {"name": f"im{i}",
+                 "image": rng.normal(size=(16, 16, 3)).astype(np.float32)}
+                for i in range(n)]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    from candidate_reranking_cir_tpu.models.blip_retrieval import (
+        RetrievalModel,
+    )
+
+    model = RetrievalModel(S1)
+    ds = SyntheticClassic(20)
+    imgs = np.stack([ds[i]["image"] for i in range(2)])
+    params = model.init(jax.random.key(0), imgs,
+                        np.ones((2, 6), np.int32), np.ones((2, 6), np.int32))
+
+    @jax.jit
+    def embed(images):
+        return model.apply(params, images, pool_and_normalize=True,
+                           method=RetrievalModel.embed_images)
+
+    raw_ref, pooled_ref, names_ref = build_index(ds, embed, 8,
+                                                 feature_dtype=jnp.float32)
+
+    mesh = make_mesh()
+    with jax.set_mesh(mesh):
+        raw_sh, pooled_sh, names_sh = build_index(
+            ds, embed, 8, feature_dtype=jnp.float32, mesh=mesh)
+    assert names_sh == names_ref
+    np.testing.assert_allclose(np.asarray(raw_sh), np.asarray(raw_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pooled_sh), np.asarray(pooled_ref),
+                               atol=1e-5)
