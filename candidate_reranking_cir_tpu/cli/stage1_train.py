@@ -88,6 +88,9 @@ def tokenize_batch(tokenizer, captions, text_len):
 
 
 def main(argv=None):
+    from candidate_reranking_cir_tpu.runtime.host import limit_numpy_threads
+
+    limit_numpy_threads()
     args = parse_args(argv)
     dataset_name = args.dataset.lower()
     assert dataset_name in ("cirr", "fashioniq")

@@ -6,7 +6,7 @@ default) with float32 layer norms and softmax, mirroring the reference's AMP set
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ gradients — zero extra host round-trips per step.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any
 
 import jax
