@@ -43,6 +43,9 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="static text bucket length")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
+    parser.add_argument("--native-pipe", action="store_true",
+                        help="use the C++ decode+preprocess pipeline "
+                             "(make -C native; JPEG sources only)")
     parser.add_argument("--dress-types", type=str, nargs="+",
                         default=["dress", "shirt", "toptee"],
                         help="Fashion-IQ categories")
@@ -90,6 +93,16 @@ def load_params(path: str, stage: int, cfg):
 
 
 def get_transform(args):
+    if getattr(args, "native_pipe", False):
+        from candidate_reranking_cir_tpu.data.native_pipe import (
+            make_native_transform,
+            native_available,
+        )
+
+        if native_available():
+            return make_native_transform(args.transform, args.image_size,
+                                         args.target_ratio)
+        print("native image pipeline not built; falling back to PIL")
     return make_transform(args.transform, args.image_size, args.target_ratio)
 
 

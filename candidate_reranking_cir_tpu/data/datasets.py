@@ -86,7 +86,10 @@ class CIRRDataset:
         return self.root / "cirr_dataset" / self.name_to_relpath[name]
 
     def open_image(self, name: str):
-        img = load_image(self.image_path(name))
+        path = self.image_path(name)
+        if getattr(self.transform, "wants_path", False):
+            return self.transform(path)  # native decode+preprocess pipeline
+        img = load_image(path)
         return self.transform(img) if self.transform else img
 
     def __len__(self) -> int:
@@ -179,7 +182,10 @@ class FashionIQDataset:
         return self.root / "fashionIQ_dataset" / "images" / f"{name}.jpg"
 
     def open_image(self, name: str):
-        img = load_image(self.image_path(name))
+        path = self.image_path(name)
+        if getattr(self.transform, "wants_path", False):
+            return self.transform(path)  # native decode+preprocess pipeline
+        img = load_image(path)
         return self.transform(img) if self.transform else img
 
     def __len__(self) -> int:

@@ -1,0 +1,79 @@
+"""Native C++ image pipeline parity vs the PIL reference path."""
+import io
+
+import numpy as np
+import pytest
+
+from candidate_reranking_cir_tpu.data import native_pipe
+from candidate_reranking_cir_tpu.data.preprocessing import (
+    CLIP_STD,
+    make_transform,
+)
+
+if not native_pipe.native_available():
+    pytest.skip("libimagepipe.so not built (make -C native)",
+                allow_module_level=True)
+
+PIL_Image = pytest.importorskip("PIL.Image")
+
+
+def _jpeg_bytes(arr):
+    buf = io.BytesIO()
+    PIL_Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("shape", [(347, 272), (90, 308), (64, 64),
+                                   (401, 123)])
+@pytest.mark.parametrize("kind", ["targetpad", "squarepad"])
+def test_parity_with_pil(shape, kind):
+    rng = np.random.default_rng(sum(shape))
+    arr = rng.integers(0, 255, size=(*shape, 3), dtype=np.uint8)
+    data = _jpeg_bytes(arr)
+
+    ref = make_transform(kind, 96, 1.25)(PIL_Image.open(io.BytesIO(data)))
+    out = native_pipe.process_jpeg_bytes(data, 96, 1.25,
+                                         kind == "squarepad")
+    # compare in 8-bit scale: de-normalize the difference
+    diff255 = np.abs(out - ref) * CLIP_STD[None, None] * 255
+    assert diff255.mean() < 0.5, diff255.mean()
+    assert diff255.max() < 10, diff255.max()
+
+
+def test_rgb_entry_point():
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, size=(120, 80, 3), dtype=np.uint8)
+    out = native_pipe.process_rgb(arr, dim=64)
+    assert out.shape == (64, 64, 3)
+    ref = make_transform("targetpad", 64, 1.25)(PIL_Image.fromarray(arr))
+    diff255 = np.abs(out - ref) * CLIP_STD[None, None] * 255
+    assert diff255.max() < 10  # no jpeg loss on this path, only resampling
+
+
+def test_decode_failure_raises():
+    with pytest.raises(ValueError):
+        native_pipe.process_jpeg_bytes(b"not a jpeg", 64)
+
+
+def test_dataset_uses_path_transform(tmp_path):
+    import json
+
+    from candidate_reranking_cir_tpu.data.datasets import CIRRDataset
+
+    base = tmp_path / "cirr_dataset"
+    (base / "cirr" / "captions").mkdir(parents=True)
+    (base / "cirr" / "image_splits").mkdir(parents=True)
+    (base / "img").mkdir()
+    arr = np.random.default_rng(0).integers(0, 255, size=(50, 40, 3),
+                                            dtype=np.uint8)
+    PIL_Image.fromarray(arr).save(base / "img" / "a.jpg", quality=92)
+    json.dump([], open(base / "cirr" / "captions" / "cap.rc2.val.json", "w"))
+    json.dump({"a": "img/a.jpg"},
+              open(base / "cirr" / "image_splits" / "split.rc2.val.json",
+                   "w"))
+
+    t = native_pipe.make_native_transform("targetpad", 32, 1.25)
+    ds = CIRRDataset(tmp_path, "val", "classic", t)
+    sample = ds[0]
+    assert sample["image"].shape == (32, 32, 3)
+    assert sample["image"].dtype == np.float32
