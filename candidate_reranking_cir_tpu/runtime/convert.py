@@ -21,9 +21,9 @@ Input is a flat {key: numpy array} dict — produced by ``load_torch_state``
 """
 from __future__ import annotations
 
-import re
 from typing import Mapping
 
+import jax
 import numpy as np
 
 
@@ -98,8 +98,6 @@ def interpolate_pos_embed(pos: np.ndarray, num_patches: int) -> np.ndarray:
     old = pos.shape[1] - 1
     if old == num_patches:
         return pos
-    import jax
-
     dim = pos.shape[-1]
     old_size, new_size = int(old ** 0.5), int(num_patches ** 0.5)
     extra, grid = pos[:, :1], pos[:, 1:]
@@ -359,6 +357,204 @@ def convert_vit_npz(path_or_dict, num_layers: int, num_patches: int) -> dict:
         "norm": {"scale": w[f"{pre}encoder_norm/scale"],
                  "bias": w[f"{pre}encoder_norm/bias"]},
     }
+
+
+# ---------------------------------------------------------------------------
+# reverse conversion (JAX -> torch reference format)
+
+
+def _unstack(stacked: dict, i: int) -> dict:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x)[i], stacked) \
+        if False else {k: (_unstack(v, i) if isinstance(v, dict)
+                           else np.asarray(v)[i]) for k, v in stacked.items()}
+
+
+def _rev_dense(p: dict, out: dict, prefix: str):
+    out[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _rev_head_proj(p: dict, out: dict, prefix: str):
+    k = np.asarray(p["kernel"])  # [in, heads, hd]
+    d_in = k.shape[0]
+    out[f"{prefix}.weight"] = np.ascontiguousarray(
+        k.reshape(d_in, -1).T)
+    out[f"{prefix}.bias"] = np.asarray(p["bias"]).reshape(-1)
+
+
+def _rev_head_out(p: dict, out: dict, prefix: str):
+    k = np.asarray(p["kernel"])  # [heads, hd, out]
+    d_out = k.shape[-1]
+    out[f"{prefix}.weight"] = np.ascontiguousarray(
+        k.reshape(-1, d_out).T)
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _rev_ln(p: dict, out: dict, prefix: str):
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def export_vit(params: dict, prefix: str, num_layers: int) -> dict:
+    """VisionTransformer params -> timm-style torch keys (inverse of
+    convert_vit, including re-fusing q/k/v into the qkv matrix)."""
+    out: dict[str, np.ndarray] = {}
+    pe = np.asarray(params["patch_embed"]["proj"]["kernel"])  # [P*P*3, D]
+    d_model = pe.shape[-1]
+    # infer P from kernel rows (P*P*3)
+    p_sq = pe.shape[0] // 3
+    p = int(round(p_sq ** 0.5))
+    out[f"{prefix}.patch_embed.proj.weight"] = np.ascontiguousarray(
+        pe.reshape(p, p, 3, d_model).transpose(3, 2, 0, 1))
+    out[f"{prefix}.patch_embed.proj.bias"] = np.asarray(
+        params["patch_embed"]["proj"]["bias"])
+    out[f"{prefix}.cls_token"] = np.asarray(params["cls_token"])
+    out[f"{prefix}.pos_embed"] = np.asarray(params["pos_embed"])
+    _rev_ln(params["norm"], out, f"{prefix}.norm")
+
+    for i in range(num_layers):
+        lp = _unstack(params["blocks"], i)
+        b = f"{prefix}.blocks.{i}"
+        _rev_ln(lp["norm1"], out, f"{b}.norm1")
+        _rev_ln(lp["norm2"], out, f"{b}.norm2")
+        qkv_w, qkv_b = [], []
+        for part in ("query", "key", "value"):
+            k = np.asarray(lp["attn"][part]["kernel"])
+            d_in = k.shape[0]
+            qkv_w.append(k.reshape(d_in, -1).T)
+            qkv_b.append(np.asarray(lp["attn"][part]["bias"]).reshape(-1))
+        out[f"{b}.attn.qkv.weight"] = np.ascontiguousarray(
+            np.concatenate(qkv_w))
+        out[f"{b}.attn.qkv.bias"] = np.concatenate(qkv_b)
+        _rev_head_out(lp["attn"]["out"], out, f"{b}.attn.proj")
+        _rev_dense(lp["mlp"]["fc1"], out, f"{b}.mlp.fc1")
+        _rev_dense(lp["mlp"]["fc2"], out, f"{b}.mlp.fc2")
+    return out
+
+
+def export_med(params: dict, prefix: str, num_layers: int,
+               multimodal: bool = True) -> dict:
+    """TextEncoder params -> reference MED torch keys (inverse of
+    convert_med)."""
+    out: dict[str, np.ndarray] = {}
+    emb = params["embeddings"]
+    out[f"{prefix}.embeddings.word_embeddings.weight"] = np.asarray(
+        emb["word_embeddings"])
+    out[f"{prefix}.embeddings.position_embeddings.weight"] = np.asarray(
+        emb["position_embeddings"])
+    _rev_ln(emb["ln"], out, f"{prefix}.embeddings.LayerNorm")
+    for i in range(num_layers):
+        lp = _unstack(params["layers"], i)
+        b = f"{prefix}.encoder.layer.{i}"
+        for part in ("query", "key", "value"):
+            _rev_head_proj(lp["self_attn"]["attn"][part], out,
+                           f"{b}.attention.self.{part}")
+        _rev_head_out(lp["self_attn"]["attn"]["out"], out,
+                      f"{b}.attention.output.dense")
+        _rev_ln(lp["self_attn"]["ln"], out, f"{b}.attention.output.LayerNorm")
+        if multimodal and "cross_attn" in lp:
+            for part in ("query", "key", "value"):
+                _rev_head_proj(lp["cross_attn"]["attn"][part], out,
+                               f"{b}.crossattention.self.{part}")
+            _rev_head_out(lp["cross_attn"]["attn"]["out"], out,
+                          f"{b}.crossattention.output.dense")
+            _rev_ln(lp["cross_attn"]["ln"], out,
+                    f"{b}.crossattention.output.LayerNorm")
+        _rev_dense(lp["ffn"]["intermediate"], out, f"{b}.intermediate.dense")
+        _rev_dense(lp["ffn"]["output"], out, f"{b}.output.dense")
+        _rev_ln(lp["ffn"]["ln"], out, f"{b}.output.LayerNorm")
+    return out
+
+
+def export_dual_encoder(params: dict, prefix: str, merge_mlp_from: int) -> dict:
+    """DualStreamEncoder params -> reference nlvr-style torch keys (inverse
+    of convert_dual_encoder)."""
+    out: dict[str, np.ndarray] = {}
+    emb = params["embeddings"]
+    out[f"{prefix}.embeddings.word_embeddings.weight"] = np.asarray(
+        emb["word_embeddings"])
+    out[f"{prefix}.embeddings.position_embeddings.weight"] = np.asarray(
+        emb["position_embeddings"])
+    _rev_ln(emb["ln"], out, f"{prefix}.embeddings.LayerNorm")
+
+    def export_layer(lp: dict, i: int, merge_mlp: bool):
+        b = f"{prefix}.encoder.layer.{i}"
+        for s in ("0", "1"):
+            for part in ("query", "key", "value"):
+                _rev_head_proj(lp[f"self_attn{s}"][part], out,
+                               f"{b}.attention.self{s}.{part}")
+            _rev_head_out(lp[f"self_attn{s}"]["out"], out,
+                          f"{b}.attention.output.dense{s}")
+            _rev_head_proj(lp[f"cross_q{s}"], out,
+                           f"{b}.crossattention.self{s}.query")
+            _rev_head_proj(lp[f"cross_k{s}"], out,
+                           f"{b}.crossattention.self{s}.key")
+            _rev_head_proj(lp[f"cross_v{s}"], out,
+                           f"{b}.crossattention.self{s}.value")
+            _rev_head_out(lp[f"cross_dense{s}"], out,
+                          f"{b}.crossattention.output.dense{s}")
+        _rev_ln(lp["self_ln0"], out, f"{b}.attention.output.LayerNormA")
+        _rev_ln(lp["self_ln1"], out, f"{b}.attention.output.LayerNormB")
+        _rev_ln(lp["cross_ln0"], out, f"{b}.crossattention.output.LayerNormA")
+        _rev_ln(lp["cross_ln1"], out, f"{b}.crossattention.output.LayerNormB")
+        if merge_mlp:
+            _rev_dense(lp["merge"], out,
+                       f"{b}.crossattention.output.merge_layer")
+        _rev_dense(lp["ffn"]["intermediate"], out, f"{b}.intermediate.dense")
+        _rev_dense(lp["ffn"]["output"], out, f"{b}.output.dense")
+        _rev_ln(lp["ffn"]["ln"], out, f"{b}.output.LayerNorm")
+
+    if "layers_avg" in params:
+        n_avg = np.asarray(jax.tree_util.tree_leaves(
+            params["layers_avg"])[0]).shape[0]
+        for i in range(n_avg):
+            export_layer(_unstack(params["layers_avg"], i), i, False)
+    if "layers_mlp" in params:
+        n_mlp = np.asarray(jax.tree_util.tree_leaves(
+            params["layers_mlp"])[0]).shape[0]
+        for i in range(n_mlp):
+            export_layer(_unstack(params["layers_mlp"], i),
+                         merge_mlp_from + i, True)
+    return out
+
+
+def export_stage1(variables: dict, cfg) -> dict:
+    """RetrievalModel variables -> reference BLIP_Retrieval state dict."""
+    p = variables["params"]
+    out = export_vit(p["visual_encoder"], "visual_encoder",
+                     cfg.vit.num_layers)
+    out |= export_med(p["text_encoder"], "text_encoder", cfg.text.num_layers)
+    _rev_dense(p["vision_proj"], out, "vision_proj")
+    _rev_dense(p["text_proj"], out, "text_proj")
+    out["temp"] = np.asarray(p["temp"], np.float32)
+    return out
+
+
+def export_stage2(variables: dict, cfg) -> dict:
+    """RerankerModel variables -> reference BLIP_NLVR state dict."""
+    p = variables["params"]
+    out = export_vit(p["visual_encoder"], "visual_encoder",
+                     cfg.vit.num_layers)
+    out |= export_dual_encoder(p["text_encoder"], "text_encoder",
+                               cfg.text.merge_mlp_from)
+    _rev_dense(p["cls_dense1"], out, "cls_head.0")
+    _rev_dense(p["cls_dense2"], out, "cls_head.2")
+    return out
+
+
+def save_torch_checkpoint(path: str, state_dict: dict, class_name: str,
+                          epoch: int = 0) -> None:
+    """Write the reference's checkpoint wrapper
+    {'epoch', <ClassName>: sd, 'optimizer_state_dict': {}}
+    (utils.py:146-150) readable by the reference's load paths."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          state_dict.items()}
+    torch.save({"epoch": epoch, class_name: sd,
+                "optimizer_state_dict": {}}, path)
+
 
 
 # ---------------------------------------------------------------------------

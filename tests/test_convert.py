@@ -58,3 +58,67 @@ def test_load_torch_state_wrappers(tmp_path):
         torch.save(wrapper, p)
         out = convert.load_torch_state(str(p))
         assert list(out) == ["w"] and out["w"].shape == (3, 2)
+
+
+def test_roundtrip_stage1_and_stage2():
+    """export_*(convert == identity): JAX params -> torch keys -> JAX params."""
+    import jax
+    import jax.numpy as jnp
+
+    from candidate_reranking_cir_tpu.config import (
+        RerankerModelConfig,
+        RetrievalModelConfig,
+        TextEncoderConfig,
+        ViTConfig,
+    )
+    from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+    from candidate_reranking_cir_tpu.models.blip_retrieval import (
+        RetrievalModel,
+    )
+
+    vit = ViTConfig(image_size=16, patch_size=8, hidden_size=16, num_layers=2,
+                    num_heads=2)
+    text = TextEncoderConfig(vocab_size=32, hidden_size=16, num_layers=3,
+                             num_heads=2, intermediate_size=32,
+                             encoder_width=16, max_position_embeddings=64,
+                             merge_mlp_from=2)
+    s1_cfg = RetrievalModelConfig(vit=vit, text=text, embed_dim=8, text_len=6)
+    s2_cfg = RerankerModelConfig(vit=vit, text=text, text_len=6)
+
+    imgs = jnp.zeros((2, 16, 16, 3))
+    ids = jnp.ones((2, 6), jnp.int32)
+    z = jnp.zeros((2, 6, 16))
+
+    s1 = RetrievalModel(s1_cfg)
+    v1 = s1.init(jax.random.key(0), imgs, ids, ids)
+    sd = convert.export_stage1(v1, s1_cfg)
+    back = convert.convert_stage1(sd, s1_cfg)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v1)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        assert str(pa) == str(pb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=str(pa))
+
+    s2 = RerankerModel(s2_cfg)
+    v2 = s2.init(jax.random.key(1), imgs, ids, ids, z)
+    sd2 = convert.export_stage2(v2, s2_cfg)
+    back2 = convert.convert_stage2(sd2, s2_cfg)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v2)[0],
+            jax.tree_util.tree_flatten_with_path(back2)[0]):
+        assert str(pa) == str(pb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=str(pa))
+
+
+def test_save_torch_checkpoint_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    sd = {"visual_encoder.norm.weight": np.ones(4, np.float32)}
+    p = tmp_path / "export.pt"
+    convert.save_torch_checkpoint(str(p), sd, "BLIP_Retrieval", epoch=7)
+    raw = torch.load(p, weights_only=False)
+    assert raw["epoch"] == 7 and "BLIP_Retrieval" in raw
+    loaded = convert.load_torch_state(str(p))
+    np.testing.assert_array_equal(loaded["visual_encoder.norm.weight"],
+                                  sd["visual_encoder.norm.weight"])
