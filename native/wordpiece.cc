@@ -105,36 +105,209 @@ inline bool is_cjk_cp(uint32_t cp) {
          (cp >= 0xf900 && cp <= 0xfaff) || (cp >= 0x2f800 && cp <= 0x2fa1f);
 }
 
-// lowercase + accent-strip for Latin-1 supplement / Latin Extended-A.
+// lowercase + accent-strip, exact parity with Python's
+// str.lower() + NFD + drop-Mn for U+00C0..U+017F (table generated from
+// unicodedata; code points without decompositions, e.g. ø þ æ ð ß, pass
+// through lowercased so unknown-word behavior matches the Python tokenizer).
 // Returns 0 to drop the code point (combining marks).
 inline uint32_t lower_strip_cp(uint32_t cp) {
   if (cp >= 'A' && cp <= 'Z') return cp + 32;
   if (cp >= 0x300 && cp <= 0x36f) return 0;  // combining diacritics (NFD tail)
-  if (cp >= 0xc0 && cp <= 0xff) {            // Latin-1 letters
-    static const char* map =
-        "aaaaaa_ceeeeiiii"   // c0-cf (c6 ae, d0 eth -> keep letter-ish)
-        "dnooooo_ouuuuy_s"   // d0-df
-        "aaaaaa_ceeeeiiii"   // e0-ef
-        "dnooooo_ouuuuy_y";  // f0-ff
-    char c = map[cp - 0xc0];
-    if (c != '_') return static_cast<uint32_t>(c);
-    if (cp == 0xc6 || cp == 0xe6) return 0xe6;   // ae ligature kept
-    if (cp == 0xd7) return 0xd7;                 // multiplication sign (punct)
-    if (cp == 0xd8 || cp == 0xf8) return 0xf8;   // o-slash kept
-    if (cp == 0xde || cp == 0xfe) return 0xfe;   // thorn kept
-    return cp;
+  switch (cp) {
+    case 0xc0: return 0x61;
+    case 0xc1: return 0x61;
+    case 0xc2: return 0x61;
+    case 0xc3: return 0x61;
+    case 0xc4: return 0x61;
+    case 0xc5: return 0x61;
+    case 0xc6: return 0xe6;
+    case 0xc7: return 0x63;
+    case 0xc8: return 0x65;
+    case 0xc9: return 0x65;
+    case 0xca: return 0x65;
+    case 0xcb: return 0x65;
+    case 0xcc: return 0x69;
+    case 0xcd: return 0x69;
+    case 0xce: return 0x69;
+    case 0xcf: return 0x69;
+    case 0xd0: return 0xf0;
+    case 0xd1: return 0x6e;
+    case 0xd2: return 0x6f;
+    case 0xd3: return 0x6f;
+    case 0xd4: return 0x6f;
+    case 0xd5: return 0x6f;
+    case 0xd6: return 0x6f;
+    case 0xd7: return 0xd7;
+    case 0xd8: return 0xf8;
+    case 0xd9: return 0x75;
+    case 0xda: return 0x75;
+    case 0xdb: return 0x75;
+    case 0xdc: return 0x75;
+    case 0xdd: return 0x79;
+    case 0xde: return 0xfe;
+    case 0xdf: return 0xdf;
+    case 0xe0: return 0x61;
+    case 0xe1: return 0x61;
+    case 0xe2: return 0x61;
+    case 0xe3: return 0x61;
+    case 0xe4: return 0x61;
+    case 0xe5: return 0x61;
+    case 0xe6: return 0xe6;
+    case 0xe7: return 0x63;
+    case 0xe8: return 0x65;
+    case 0xe9: return 0x65;
+    case 0xea: return 0x65;
+    case 0xeb: return 0x65;
+    case 0xec: return 0x69;
+    case 0xed: return 0x69;
+    case 0xee: return 0x69;
+    case 0xef: return 0x69;
+    case 0xf0: return 0xf0;
+    case 0xf1: return 0x6e;
+    case 0xf2: return 0x6f;
+    case 0xf3: return 0x6f;
+    case 0xf4: return 0x6f;
+    case 0xf5: return 0x6f;
+    case 0xf6: return 0x6f;
+    case 0xf7: return 0xf7;
+    case 0xf8: return 0xf8;
+    case 0xf9: return 0x75;
+    case 0xfa: return 0x75;
+    case 0xfb: return 0x75;
+    case 0xfc: return 0x75;
+    case 0xfd: return 0x79;
+    case 0xfe: return 0xfe;
+    case 0xff: return 0x79;
+    case 0x100: return 0x61;
+    case 0x101: return 0x61;
+    case 0x102: return 0x61;
+    case 0x103: return 0x61;
+    case 0x104: return 0x61;
+    case 0x105: return 0x61;
+    case 0x106: return 0x63;
+    case 0x107: return 0x63;
+    case 0x108: return 0x63;
+    case 0x109: return 0x63;
+    case 0x10a: return 0x63;
+    case 0x10b: return 0x63;
+    case 0x10c: return 0x63;
+    case 0x10d: return 0x63;
+    case 0x10e: return 0x64;
+    case 0x10f: return 0x64;
+    case 0x110: return 0x111;
+    case 0x111: return 0x111;
+    case 0x112: return 0x65;
+    case 0x113: return 0x65;
+    case 0x114: return 0x65;
+    case 0x115: return 0x65;
+    case 0x116: return 0x65;
+    case 0x117: return 0x65;
+    case 0x118: return 0x65;
+    case 0x119: return 0x65;
+    case 0x11a: return 0x65;
+    case 0x11b: return 0x65;
+    case 0x11c: return 0x67;
+    case 0x11d: return 0x67;
+    case 0x11e: return 0x67;
+    case 0x11f: return 0x67;
+    case 0x120: return 0x67;
+    case 0x121: return 0x67;
+    case 0x122: return 0x67;
+    case 0x123: return 0x67;
+    case 0x124: return 0x68;
+    case 0x125: return 0x68;
+    case 0x126: return 0x127;
+    case 0x127: return 0x127;
+    case 0x128: return 0x69;
+    case 0x129: return 0x69;
+    case 0x12a: return 0x69;
+    case 0x12b: return 0x69;
+    case 0x12c: return 0x69;
+    case 0x12d: return 0x69;
+    case 0x12e: return 0x69;
+    case 0x12f: return 0x69;
+    case 0x130: return 0x69;
+    case 0x131: return 0x131;
+    case 0x132: return 0x133;
+    case 0x133: return 0x133;
+    case 0x134: return 0x6a;
+    case 0x135: return 0x6a;
+    case 0x136: return 0x6b;
+    case 0x137: return 0x6b;
+    case 0x138: return 0x138;
+    case 0x139: return 0x6c;
+    case 0x13a: return 0x6c;
+    case 0x13b: return 0x6c;
+    case 0x13c: return 0x6c;
+    case 0x13d: return 0x6c;
+    case 0x13e: return 0x6c;
+    case 0x13f: return 0x140;
+    case 0x140: return 0x140;
+    case 0x141: return 0x142;
+    case 0x142: return 0x142;
+    case 0x143: return 0x6e;
+    case 0x144: return 0x6e;
+    case 0x145: return 0x6e;
+    case 0x146: return 0x6e;
+    case 0x147: return 0x6e;
+    case 0x148: return 0x6e;
+    case 0x149: return 0x149;
+    case 0x14a: return 0x14b;
+    case 0x14b: return 0x14b;
+    case 0x14c: return 0x6f;
+    case 0x14d: return 0x6f;
+    case 0x14e: return 0x6f;
+    case 0x14f: return 0x6f;
+    case 0x150: return 0x6f;
+    case 0x151: return 0x6f;
+    case 0x152: return 0x153;
+    case 0x153: return 0x153;
+    case 0x154: return 0x72;
+    case 0x155: return 0x72;
+    case 0x156: return 0x72;
+    case 0x157: return 0x72;
+    case 0x158: return 0x72;
+    case 0x159: return 0x72;
+    case 0x15a: return 0x73;
+    case 0x15b: return 0x73;
+    case 0x15c: return 0x73;
+    case 0x15d: return 0x73;
+    case 0x15e: return 0x73;
+    case 0x15f: return 0x73;
+    case 0x160: return 0x73;
+    case 0x161: return 0x73;
+    case 0x162: return 0x74;
+    case 0x163: return 0x74;
+    case 0x164: return 0x74;
+    case 0x165: return 0x74;
+    case 0x166: return 0x167;
+    case 0x167: return 0x167;
+    case 0x168: return 0x75;
+    case 0x169: return 0x75;
+    case 0x16a: return 0x75;
+    case 0x16b: return 0x75;
+    case 0x16c: return 0x75;
+    case 0x16d: return 0x75;
+    case 0x16e: return 0x75;
+    case 0x16f: return 0x75;
+    case 0x170: return 0x75;
+    case 0x171: return 0x75;
+    case 0x172: return 0x75;
+    case 0x173: return 0x75;
+    case 0x174: return 0x77;
+    case 0x175: return 0x77;
+    case 0x176: return 0x79;
+    case 0x177: return 0x79;
+    case 0x178: return 0x79;
+    case 0x179: return 0x7a;
+    case 0x17a: return 0x7a;
+    case 0x17b: return 0x7a;
+    case 0x17c: return 0x7a;
+    case 0x17d: return 0x7a;
+    case 0x17e: return 0x7a;
+    case 0x17f: return 0x17f;
+    default: return cp;
   }
-  if (cp >= 0x100 && cp <= 0x17f) {  // Latin Extended-A: base letter table
-    static const char base[] =
-        "aaaaaacccccccccc" "ddddeeeeeeeeeegg"  // 100-11f
-        "gggggghhhhiiiiii" "iiiijjkkkllllll."  // 120-13f
-        "lnnnnnnnnnoooooo" "oorrrrrrssssssss"  // 140-15f
-        "tttttuuuuuuuuuuu" "uwwyyyzzzzzz...."; // 160-17f
-    char c = base[cp - 0x100];
-    if (c != '.') return static_cast<uint32_t>(c);
-    return cp;
-  }
-  return cp;
 }
 
 struct Cp {
