@@ -53,3 +53,22 @@ def test_encode_parity(pair, set_enc, max_len):
     i2, m2 = nat.encode(TEXTS, max_len, set_enc_token=set_enc)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_fuzz_against_python(pair):
+    """Random unicode fuzzing: byte-identical ids/masks on mixed-script text
+    (this surfaced the accent-folding divergence the generated table fixed)."""
+    import random
+
+    py, nat = pair
+    rng = random.Random(0)
+    pools = ["abcdefghijklmnopqrstuvwxyz ", "ABCDEFG .,!?'-\t\n",
+             "àéîõüçñ ÆØþ ", "日本語漢字 test ", "0123456789  --  ",
+             "ĀāĎďĚěĹĺŇňŘřŠšŽž ", "ß×÷ "]
+    texts = ["".join(rng.choice(rng.choice(pools))
+                     for _ in range(rng.randint(0, 40)))
+             for _ in range(1000)]
+    a, ma = py.encode(texts, 16)
+    b, mb = nat.encode(texts, 16)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(ma, mb)
