@@ -67,6 +67,62 @@ class CaptionDecoder(nn.Module):
         return self.lm_head(hidden)
 
 
+def beam_caption(decoder: CaptionDecoder, params, image_feats, *,
+                 bos_id: int, eos_id: int, pad_id: int, max_len: int = 20,
+                 num_beams: int = 3, length_penalty: float = 1.0):
+    """Beam-search decode [B, max_len] (the reference BLIP_Decoder's default
+    generation mode, blip.py:119-135, uses beam search with 3 beams).
+
+    Host loop over steps, one jitted scorer over the flattened [B*beams]
+    prefix buffer per step; finished beams are frozen with zero-logprob
+    continuation and ranked by length-normalized score at the end.
+    """
+    b = image_feats.shape[0]
+    nb = num_beams
+    feats = jnp.repeat(image_feats, nb, axis=0)          # [B*nb, M, W]
+
+    @jax.jit
+    def step_logprobs(ids, mask, t):
+        logits = decoder.apply(params, feats, ids, mask,
+                               method=CaptionDecoder.logits)
+        return jax.nn.log_softmax(logits[:, t], axis=-1)  # [B*nb, V]
+
+    vocab = decoder.cfg.text.vocab_size
+    ids = jnp.full((b * nb, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    mask = jnp.zeros((b * nb, max_len), jnp.int32).at[:, 0].set(1)
+    # only beam 0 alive initially so identical beams don't multiply
+    scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (nb - 1)), b)
+    finished = jnp.zeros((b * nb,), bool)
+    lengths = jnp.ones((b * nb,), jnp.int32)
+
+    for t in range(max_len - 1):
+        lp = step_logprobs(ids, mask, t)                  # [B*nb, V]
+        # frozen beams contribute exactly one continuation (pad, logp 0)
+        frozen = jnp.full((b * nb, vocab), -1e9).at[:, pad_id].set(0.0)
+        lp = jnp.where(finished[:, None], frozen, lp)
+        cand = scores[:, None] + lp                       # [B*nb, V]
+        cand = cand.reshape(b, nb * vocab)
+        top_scores, top_idx = jax.lax.top_k(cand, nb)     # [B, nb]
+        beam_idx = top_idx // vocab + jnp.arange(b)[:, None] * nb
+        token = (top_idx % vocab).reshape(-1).astype(jnp.int32)
+        sel = beam_idx.reshape(-1)
+
+        ids = ids[sel].at[:, t + 1].set(token)
+        was_finished = finished[sel]
+        mask = mask[sel].at[:, t + 1].set(
+            (~was_finished).astype(jnp.int32))
+        lengths = lengths[sel] + (~was_finished).astype(jnp.int32)
+        scores = top_scores.reshape(-1)
+        finished = was_finished | (token == eos_id)
+        if bool(finished.all()):
+            break
+
+    norm = scores / jnp.maximum(lengths, 1).astype(
+        jnp.float32) ** length_penalty
+    best = jnp.argmax(norm.reshape(b, nb), axis=-1) + jnp.arange(b) * nb
+    return ids[best]
+
+
 def greedy_caption(decoder: CaptionDecoder, params, image_feats, *,
                    bos_id: int, eos_id: int, pad_id: int,
                    max_len: int = 20) -> jnp.ndarray:

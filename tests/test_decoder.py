@@ -68,3 +68,44 @@ def test_greedy_caption_shapes_and_eos():
         hits = np.where(row == 3)[0]
         if len(hits):
             assert (row[hits[0] + 1:] == 0).all()
+
+
+def test_beam_caption_matches_greedy_at_one_beam():
+    from candidate_reranking_cir_tpu.models.blip_decoder import beam_caption
+
+    model = CaptionDecoder(CFG)
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.key(0), images, ids, mask)
+    feats = model.apply(params, images,
+                        method=lambda m, im: m.visual_encoder(im))
+
+    g = greedy_caption(model, params, feats, bos_id=2, eos_id=3, pad_id=0,
+                       max_len=6)
+    b1 = beam_caption(model, params, feats, bos_id=2, eos_id=3, pad_id=0,
+                      max_len=6, num_beams=1)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(b1))
+
+
+def test_beam_caption_structure():
+    from candidate_reranking_cir_tpu.models.blip_decoder import beam_caption
+
+    model = CaptionDecoder(CFG)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.key(1), images, ids, mask)
+    feats = model.apply(params, images,
+                        method=lambda m, im: m.visual_encoder(im))
+
+    out = np.asarray(beam_caption(model, params, feats, bos_id=2, eos_id=3,
+                                  pad_id=0, max_len=6, num_beams=3))
+    assert out.shape == (2, 6)
+    assert (out[:, 0] == 2).all()
+    for row in out:
+        hits = np.where(row == 3)[0]
+        if len(hits):
+            assert (row[hits[0] + 1:] == 0).all()
