@@ -41,6 +41,12 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--image-size", type=int, default=384)
     parser.add_argument("--text-len", type=int, default=40,
                         help="static text bucket length")
+    parser.add_argument("--text-overflow", type=str, default="error",
+                        choices=["error", "warn", "truncate"],
+                        help="what to do when a caption exceeds --text-len: "
+                             "fail loudly (default), truncate with a counted "
+                             "warning, or silently clip (diverges from the "
+                             "reference's pad-to-longest numerics)")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
     parser.add_argument("--native-pipe", action="store_true",
@@ -107,7 +113,9 @@ def get_transform(args):
 
 
 def get_tokenizer(args):
-    return load_tokenizer(args.vocab or None)
+    tok = load_tokenizer(args.vocab or None)
+    tok.overflow = getattr(args, "text_overflow", "error")
+    return tok
 
 
 def print_metrics(metrics: dict):

@@ -70,6 +70,21 @@ class RerankerModel(nn.Module):
             shared_candidates=False, deterministic=deterministic)
         return self._cls_scores(cls_pair)
 
+    def score_grid(self, z_t, input_ids, attention_mask, cand_feats, *,
+                   deterministic: bool = True):
+        """Candidate-major grid: [A, B, L, D] x [A, M, W] -> [A, B] scores.
+
+        Axis 0 indexes candidates, axis 1 the queries scored against each
+        candidate; per-pair text ids/mask/z_t, per-candidate image features.
+        Candidate K/V projections are paid once per candidate and reused by
+        all B of its queries — the evaluation dual of score_shared's O(B)
+        projection saving (the reference recomputes K/V per pair inside its
+        per-query loop, blip_stage2.py:101-136)."""
+        cls_pair = self.text_encoder(
+            input_ids, attention_mask, z_t, cand_feats, layout="cand_major",
+            deterministic=deterministic)
+        return self._cls_scores(cls_pair)
+
     def score_indexed(self, z_t, input_ids, attention_mask, unique_cand,
                       pair_map, *, deterministic: bool = True):
         """[Q, L, D] x unique [U, M, W] + pair_map [Q, K] -> [Q, K] scores.

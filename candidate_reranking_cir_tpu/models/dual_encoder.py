@@ -41,6 +41,7 @@ from candidate_reranking_cir_tpu.models.layers import (
 from candidate_reranking_cir_tpu.models.med import BertEmbeddings, BertFFN
 from candidate_reranking_cir_tpu.ops.attention import (
     dot_product_attention,
+    grid_cross_attention,
     make_additive_mask,
     pair_cross_attention,
 )
@@ -50,7 +51,11 @@ class DualLayer(nn.Module):
     """One dual-stream layer. Scan-compatible signature.
 
     h0, h1: [Q, C, L, D] pair-grid stream states.
-    cand:   [C, M, W] if shared_candidates else [Q, C, M, W].
+    cand layouts (static ``layout`` arg):
+      'shared'     cand [C, M, W]   — K/V shared across the query axis (0)
+      'per_pair'   cand [Q, C, M, W] (or unique [U, M, W] + pair_map gather)
+      'cand_major' cand [A, M, W]   — axis 0 is candidates, K/V shared
+                                      across the per-candidate query axis (1)
     """
 
     cfg: TextEncoderConfig
@@ -59,7 +64,7 @@ class DualLayer(nn.Module):
 
     @nn.compact
     def __call__(self, carry, text_bias, cand, pair_map=None,
-                 shared_candidates: bool = True, deterministic: bool = True):
+                 layout: str = "shared", deterministic: bool = True):
         h0, h1 = carry
         cfg = self.cfg
 
@@ -94,16 +99,12 @@ class DualLayer(nn.Module):
             rng = None
             if cfg.attention_dropout > 0.0 and not deterministic:
                 rng = self.make_rng("dropout")
-            if shared_candidates:
-                ctx = pair_cross_attention(
-                    q, k, v, None, dropout_rate=cfg.attention_dropout,
-                    dropout_rng=rng, deterministic=deterministic,
-                    fused=cfg.fused_attention)
-            else:
-                ctx = dot_product_attention(
-                    q, k, v, None, dropout_rate=cfg.attention_dropout,
-                    dropout_rng=rng, deterministic=deterministic,
-                    fused=cfg.fused_attention)
+            attn = {"shared": pair_cross_attention,
+                    "cand_major": grid_cross_attention,
+                    "per_pair": dot_product_attention}[layout]
+            ctx = attn(q, k, v, None, dropout_rate=cfg.attention_dropout,
+                       dropout_rng=rng, deterministic=deterministic,
+                       fused=cfg.fused_attention)
             return HeadOutProjection(cfg.hidden_size, self.dtype,
                                      name=f"cross_dense{name}")(ctx)
 
@@ -141,36 +142,51 @@ class DualStreamEncoder(nn.Module):
     @nn.compact
     def __call__(self, input_ids, attention_mask, z_t, cand_feats, *,
                  pair_map=None, shared_candidates: bool = True,
-                 deterministic: bool = True):
-        """Candidate layouts:
-        - shared_candidates=True:  cand_feats [C, M, W], all queries x all C
-        - shared_candidates=False: cand_feats [Q, C, M, W] per-pair
-        - pair_map [Q, C] int32 (+ shared_candidates=False): cand_feats holds
-          the chunk's U unique candidates [U, M, W]; cross-attn K/V are
-          projected once per unique candidate and gathered per pair — the
-          dedup path for evaluation where corpus images recur across queries'
-          top-K lists (CIRR val: each image appears in ~90 lists).
+                 layout: str | None = None, deterministic: bool = True):
+        """Candidate layouts (``layout`` overrides the legacy flags):
+        - 'shared' (shared_candidates=True): cand_feats [C, M, W], queries x C
+        - 'per_pair' (shared_candidates=False): cand_feats [Q, C, M, W]
+        - 'per_pair' + pair_map [Q, C] int32: cand_feats holds the chunk's U
+          unique candidates [U, M, W]; cross-attn K/V are projected once per
+          unique candidate and gathered per pair (XLA-gather dedup path).
+        - 'cand_major': candidate-major grid — input_ids/attention_mask
+          [A, B, L] and z_t [A, B, L, D] are PER PAIR (candidate a x its b-th
+          query), cand_feats [A, M, W] per candidate; K/V projected once per
+          candidate and broadcast across its B queries. The eval-side dual of
+          the training-side shared layout: on CIRR val each corpus image
+          recurs in ~90 queries' top-K lists, so scheduling pairs by
+          candidate amortizes the dominant K/V projection FLOPs ~90x.
         """
         cfg = self.cfg
+        if layout is None:
+            layout = ("per_pair" if pair_map is not None
+                      else "shared" if shared_candidates else "per_pair")
         text_emb = BertEmbeddings(cfg, self.dtype, name="embeddings")(
             input_ids, deterministic=deterministic)
-
-        if pair_map is not None:
-            num_cand = pair_map.shape[1]
-            shared_candidates = False
-        elif shared_candidates:
-            num_cand = cand_feats.shape[0]
-        else:
-            num_cand = cand_feats.shape[1]
-        q, l, d = z_t.shape
-
-        # broadcast both streams across the candidate axis -> [Q, C, L, D]
-        h0 = jnp.broadcast_to(z_t.astype(self.dtype)[:, None], (q, num_cand, l, d))
-        h1 = jnp.broadcast_to(text_emb[:, None], (q, num_cand, l, d))
         cand_feats = cand_feats.astype(self.dtype)
 
-        # [Q, 1, 1, 1, L] additive bias, broadcast over (C, heads, q_len)
-        text_bias = make_additive_mask(attention_mask, jnp.float32)[:, None]
+        if layout == "cand_major":
+            # streams are already laid out per pair: [A, B, L, D]
+            h0 = z_t.astype(self.dtype)
+            h1 = text_emb
+            # [A, B, 1, 1, L] additive bias over (heads, q_len)
+            text_bias = make_additive_mask(attention_mask, jnp.float32)
+        else:
+            if pair_map is not None:
+                num_cand = pair_map.shape[1]
+            elif layout == "shared":
+                num_cand = cand_feats.shape[0]
+            else:
+                num_cand = cand_feats.shape[1]
+            q, l, d = z_t.shape
+
+            # broadcast both streams across the candidate axis -> [Q, C, L, D]
+            h0 = jnp.broadcast_to(z_t.astype(self.dtype)[:, None],
+                                  (q, num_cand, l, d))
+            h1 = jnp.broadcast_to(text_emb[:, None], (q, num_cand, l, d))
+
+            # [Q, 1, 1, 1, L] additive bias, broadcast over (C, heads, q_len)
+            text_bias = make_additive_mask(attention_mask, jnp.float32)[:, None]
 
         n_avg = min(cfg.merge_mlp_from, cfg.num_layers)
         n_mlp = cfg.num_layers - n_avg
@@ -180,8 +196,8 @@ class DualStreamEncoder(nn.Module):
                 return carry
             layer = DualLayer
             if cfg.remat:
-                # shared_candidates / deterministic are static (args 5, 6
-                # counting the module instance as arg 0)
+                # layout / deterministic are static (args 5, 6 counting the
+                # module instance as arg 0)
                 layer = nn.remat(layer, static_argnums=(5, 6),
                                  prevent_cse=False)
             scanned = nn.scan(
@@ -192,7 +208,7 @@ class DualStreamEncoder(nn.Module):
                 length=length,
             )(cfg=cfg, merge_mlp=merge_mlp, dtype=self.dtype, name=name)
             carry, _ = scanned(carry, text_bias, cand_feats, pair_map,
-                               shared_candidates, deterministic)
+                               layout, deterministic)
             return carry
 
         h0, h1 = stack("layers_avg", False, n_avg, (h0, h1))

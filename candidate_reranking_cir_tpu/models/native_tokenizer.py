@@ -11,6 +11,8 @@ from pathlib import Path
 
 import numpy as np
 
+from candidate_reranking_cir_tpu.models.tokenizer import handle_overflow
+
 _LIB_PATH = Path(__file__).resolve().parents[2] / "native" / "libwordpiece.so"
 
 
@@ -23,10 +25,12 @@ def _load_lib():
     lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
     lib.wp_special_id.restype = ctypes.c_int32
     lib.wp_special_id.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.wp_encode_batch.restype = ctypes.c_int32
     lib.wp_encode_batch.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
     return lib
 
 
@@ -38,6 +42,8 @@ class NativeWordPieceTokenizer:
     """Same encode() contract as models.tokenizer.WordPieceTokenizer."""
 
     def __init__(self, vocab_path: str | Path):
+        self.overflow = "error"
+        self.overflow_count = 0
         if not native_available():
             raise FileNotFoundError(
                 f"{_LIB_PATH} not built; run `make -C native`")
@@ -57,15 +63,20 @@ class NativeWordPieceTokenizer:
         return int(self._lib.wp_special_id(self._handle, tok.encode()))
 
     def encode(self, texts: list[str], max_len: int, *,
-               set_enc_token: bool = False):
+               set_enc_token: bool = False, overflow: str | None = None):
+        policy = overflow if overflow is not None else self.overflow
         n = len(texts)
         ids = np.empty((n, max_len), np.int32)
         mask = np.empty((n, max_len), np.int32)
+        stats = np.zeros(2, np.int32)  # {n_overflowed, worst_piece_count}
         arr = (ctypes.c_char_p * n)(*[t.encode("utf-8") for t in texts])
         self._lib.wp_encode_batch(
             self._handle, arr, n, max_len, int(set_enc_token),
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        handle_overflow(policy, int(stats[0]), n, int(stats[1]), max_len)
+        self.overflow_count += int(stats[0])
         return ids, mask
 
     def __del__(self):

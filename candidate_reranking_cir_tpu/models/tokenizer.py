@@ -19,6 +19,7 @@ reference's pad-to-longest under the additive -10000 mask convention.
 from __future__ import annotations
 
 import unicodedata
+import warnings
 from pathlib import Path
 
 import numpy as np
@@ -56,9 +57,36 @@ def _is_cjk(cp: int) -> bool:
     )
 
 
+def handle_overflow(policy: str, n_over: int, n_total: int, worst: int,
+                    max_len: int) -> None:
+    """Shared bucket-overflow policy for all tokenizer implementations.
+
+    The reference pads to the longest caption with NO truncation
+    (blip_stage1.py:72), so any caption that exceeds the static bucket would
+    silently diverge from reference numerics if clipped. Policies:
+    'error' (default) raises, 'warn' truncates with a counted warning,
+    'truncate' is the silent legacy behavior.
+    """
+    if n_over == 0 or policy == "truncate":
+        return
+    msg = (f"{n_over}/{n_total} caption(s) exceed the static text bucket "
+           f"(longest needs {worst + 2} tokens incl. [CLS]/[SEP], bucket is "
+           f"{max_len}); the reference pads-to-longest without truncation, "
+           f"so clipped rows diverge numerically. Raise --text-len to at "
+           f"least {worst + 2}, or set overflow='warn'/'truncate'.")
+    if policy == "error":
+        raise ValueError(msg)
+    if policy == "warn":
+        warnings.warn(msg, stacklevel=3)
+        return
+    raise ValueError(f"unknown overflow policy {policy!r}")
+
+
 class WordPieceTokenizer:
     def __init__(self, vocab: dict[str, int], *, lowercase: bool = True,
                  max_chars_per_word: int = 100):
+        self.overflow = "error"
+        self.overflow_count = 0  # cumulative truncated rows (warn/truncate)
         self.vocab = dict(vocab)
         self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
         self.lowercase = lowercase
@@ -170,20 +198,31 @@ class WordPieceTokenizer:
 
     # -- batch encoding ---------------------------------------------------------
     def encode(self, texts: list[str], max_len: int, *,
-               set_enc_token: bool = False) -> tuple[np.ndarray, np.ndarray]:
+               set_enc_token: bool = False,
+               overflow: str | None = None) -> tuple[np.ndarray, np.ndarray]:
         """Encode to fixed-shape [B, max_len] int32 ids + int32 mask.
 
         Layout matches HF: [CLS] tokens [SEP], truncated so [SEP] survives.
         set_enc_token=True overwrites position 0 with [ENC] (blip_stage1.py:73).
+        overflow: 'error' (default, via self.overflow) raises when any caption
+        needs more than max_len tokens; 'warn' truncates with a warning;
+        'truncate' silently clips (reference-divergent, see handle_overflow).
         """
+        policy = overflow if overflow is not None else self.overflow
         ids = np.full((len(texts), max_len), self.pad_id, dtype=np.int32)
         mask = np.zeros((len(texts), max_len), dtype=np.int32)
+        n_over, worst = 0, 0
         for i, text in enumerate(texts):
             toks = self.convert_tokens_to_ids(self.tokenize(text))
+            if len(toks) > max_len - 2:
+                n_over += 1
+                worst = max(worst, len(toks))
             toks = toks[: max_len - 2]
             row = [self.cls_id, *toks, self.sep_id]
             ids[i, : len(row)] = row
             mask[i, : len(row)] = 1
+        handle_overflow(policy, n_over, len(texts), worst, max_len)
+        self.overflow_count += n_over
         if set_enc_token:
             ids[:, 0] = self.enc_token_id
         return ids, mask

@@ -108,6 +108,63 @@ def _try_fused(q, k, v, bias):
     return out.reshape(*batch_shape, lq, h, d)
 
 
+def grid_cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    deterministic: bool = True,
+    fused: bool = False,
+) -> jax.Array:
+    """Cross-attention over a (candidate x query) grid with per-ROW shared K/V.
+
+    The candidate-major dual of ``pair_cross_attention``: here axis 0 indexes
+    candidates and axis 1 the queries scored against each candidate, so K/V
+    are shared along axis 1 instead of axis 0.
+
+    q:    [A, B, Lq, H, D]   pair states (candidate a x its b-th query)
+    k, v: [A, Lk, H, D]      per-candidate keys/values, shared across the B
+                             queries that rank candidate a
+    bias: broadcastable to [A, B, H, Lq, Lk] or None
+
+    Returns [A, B, Lq, H, D]. Candidate K/V projections are paid once per
+    candidate per call and amortized over every query that retrieves it (the
+    eval-side equivalent of the training-side score_shared saving; on CIRR
+    val each corpus image recurs in ~90 queries' top-K lists).
+
+    fused=True (deterministic, no bias) folds the query axis into the q
+    sequence: per candidate the kernel attends [B*Lq] rows to that
+    candidate's keys in one well-tiled program.
+    """
+    if (fused and (deterministic or dropout_rate == 0.0) and bias is None
+            and k.ndim == 4):
+        from candidate_reranking_cir_tpu.ops.pallas_attention import (
+            fused_attention,
+        )
+
+        a, b, lq, h, d = q.shape
+        out = fused_attention(q.reshape(a, b * lq, h, d), k, v, None)
+        return out.reshape(a, b, lq, h, d)
+    dtype = q.dtype
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("ablhd,akhd->abhlk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores.astype(jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(dtype)
+    out = jnp.einsum("abhlk,akhd->ablhd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
 def pair_cross_attention(
     q: jax.Array,
     k: jax.Array,

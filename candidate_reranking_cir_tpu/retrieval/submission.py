@@ -32,6 +32,9 @@ def write_submissions(out_dir: str | Path, name: str, submission: dict,
     out_dir.mkdir(parents=True, exist_ok=True)
     p1 = out_dir / f"recall_submission_{name}.json"
     p2 = out_dir / f"recall_subset_submission_{name}.json"
-    p1.write_text(json.dumps(submission, sort_keys=False))
-    p2.write_text(json.dumps(group_submission, sort_keys=False))
+    # sort_keys=True for byte parity with the reference writer
+    # (cirr_test_submission.py:67-71); the provided submission/CIRR goldens
+    # are documented byte-reproducible (Instructions_CIRR.md:164).
+    p1.write_text(json.dumps(submission, sort_keys=True))
+    p2.write_text(json.dumps(group_submission, sort_keys=True))
     return p1, p2

@@ -10,6 +10,7 @@ import jax
 import numpy as np
 
 from candidate_reranking_cir_tpu.data.captions import compose_fiq_eval
+from candidate_reranking_cir_tpu.data.topk_io import resolve_fiq_topk_path
 from candidate_reranking_cir_tpu.data.datasets import (
     CIRRDataset,
     FashionIQDataset,
@@ -82,12 +83,13 @@ def evaluate_fiq_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                         data_root, transform, top_k_path, k, text_len,
                         dress_types=("shirt", "dress", "toptee"),
                         q_batch: int = 8, batch_size: int = 16) -> dict:
-    """Per-category re-rank eval; top_k_path may contain '{dress}' to be
-    substituted per category (the reference stores one file per type)."""
+    """Per-category re-rank eval; top_k_path may contain '{dress}' or the
+    reference's 'DTYPE' placeholder, substituted per category (the reference
+    stores one file per type, utils.py:195)."""
     mets = {}
     r10s, r50s = [], []
     for dress in dress_types:
-        path = str(top_k_path).format(dress=dress)
+        path = resolve_fiq_topk_path(top_k_path, dress)
         classic = FashionIQDataset(data_root, "val", [dress], "classic",
                                    transform, load_topk=path, k=k)
         relative = FashionIQDataset(data_root, "val", [dress], "relative",

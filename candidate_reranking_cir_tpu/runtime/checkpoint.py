@@ -51,9 +51,38 @@ def _to_pure_tree(state):
     return state
 
 
+def is_url(path: str | Path) -> bool:
+    from urllib.parse import urlparse
+
+    return urlparse(str(path)).scheme in ("http", "https")
+
+
+def download_cached_file(url: str, cache_dir: str | Path | None = None) -> Path:
+    """Fetch a pretrained checkpoint by URL into a local cache and return the
+    cached path (reference capability, blip.py:215-222 via timm's
+    download_cached_file). Skips the download when the cached file exists."""
+    from urllib.parse import urlparse
+    from urllib.request import urlretrieve
+
+    cache_dir = Path(cache_dir or Path.home() / ".cache"
+                     / "candidate_reranking_cir_tpu" / "checkpoints")
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    fname = Path(urlparse(url).path).name or "checkpoint.pth"
+    cached = cache_dir / fname
+    if not cached.exists():
+        print(f"downloading {url} -> {cached}")
+        tmp = cached.with_suffix(cached.suffix + ".part")
+        urlretrieve(url, tmp)
+        tmp.rename(cached)
+    return cached
+
+
 def load_model_params(path: str | Path, stage: int, cfg) -> Any:
-    """Load model params from either a native Orbax dir or a torch .pt/.pth
-    file (reference formats, converted on the fly)."""
+    """Load model params from a native Orbax dir, a torch .pt/.pth file
+    (reference formats, converted on the fly), or an http(s) URL to a torch
+    checkpoint (fetched into the local cache first, matching blip.py:215-222)."""
+    if is_url(path):
+        path = download_cached_file(str(path))
     path = Path(path)
     if path.is_dir():
         restored = restore_checkpoint(path)

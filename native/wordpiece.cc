@@ -18,6 +18,7 @@
 //
 // Build: make -C native   (produces libwordpiece.so)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <fstream>
@@ -431,18 +432,26 @@ int32_t wp_special_id(void* handle, const char* token) {
 // Encode a batch: texts[n] -> ids[n * max_len], mask[n * max_len].
 // Layout: [CLS] pieces [SEP], pad with pad_id; set_enc_token overwrites
 // position 0 with [ENC] (blip_stage1.py:73).
-void wp_encode_batch(void* handle, const char** texts, int32_t n,
-                     int32_t max_len, int32_t set_enc_token, int32_t* ids,
-                     int32_t* mask) {
+// Returns the number of rows whose wordpiece sequence exceeded max_len - 2
+// (i.e. rows that were truncated). stats (nullable, int32[2]) additionally
+// receives {n_overflowed, worst_piece_count} so callers can report how large
+// the static bucket must be for lossless encoding.
+int32_t wp_encode_batch(void* handle, const char** texts, int32_t n,
+                        int32_t max_len, int32_t set_enc_token, int32_t* ids,
+                        int32_t* mask, int32_t* stats) {
   auto& v = *static_cast<Vocab*>(handle);
   std::vector<int32_t> pieces;
+  int32_t n_over = 0, worst = 0;
   for (int32_t i = 0; i < n; ++i) {
     pieces.clear();
     for (const auto& w : basic_tokenize(v, texts[i])) {
       wordpiece(v, w, &pieces);
     }
-    if (static_cast<int32_t>(pieces.size()) > max_len - 2)
+    if (static_cast<int32_t>(pieces.size()) > max_len - 2) {
+      ++n_over;
+      worst = std::max(worst, static_cast<int32_t>(pieces.size()));
       pieces.resize(max_len - 2);
+    }
     int32_t* row = ids + static_cast<int64_t>(i) * max_len;
     int32_t* mrow = mask + static_cast<int64_t>(i) * max_len;
     int32_t pos = 0;
@@ -455,6 +464,11 @@ void wp_encode_batch(void* handle, const char** texts, int32_t n,
       mrow[j] = 0;
     }
   }
+  if (stats) {
+    stats[0] = n_over;
+    stats[1] = worst;
+  }
+  return n_over;
 }
 
 }  // extern "C"

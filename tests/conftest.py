@@ -22,6 +22,17 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Build the native C++ libraries (tokenizer + image pipe) if absent/stale.
+# The .so blobs are not committed; tests that need them would otherwise skip.
+import shutil
+import subprocess
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+if shutil.which("make") and shutil.which(os.environ.get("CXX", "g++")):
+    subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=False,
+                   capture_output=True)
+
 import numpy as np
 import pytest
 

@@ -123,3 +123,42 @@ def test_config_roundtrip(tmp_path):
         c = load_config(pkg / "configs" / name)
         assert c.stage1.text.vocab_size == 30524
         assert c.stage2.text.merge_mlp_from == 6
+
+
+def test_resolve_fiq_topk_path_conventions():
+    from candidate_reranking_cir_tpu.data.topk_io import resolve_fiq_topk_path
+
+    # this repo's convention
+    assert resolve_fiq_topk_path("fiq_top_{dress}.npz", "shirt") \
+        == "fiq_top_shirt.npz"
+    # reference convention (utils.py:195, validate_stage2.py:144)
+    assert resolve_fiq_topk_path(
+        "models/stage1/fashionIQ/fiq_top_200_val_DTYPE.pt", "toptee") \
+        == "models/stage1/fashionIQ/fiq_top_200_val_toptee.pt"
+    # no placeholder -> unchanged
+    assert resolve_fiq_topk_path("one_file.npz", "dress") == "one_file.npz"
+
+
+def test_url_checkpoint_cached_fetch(tmp_path, monkeypatch):
+    from candidate_reranking_cir_tpu.runtime import checkpoint as C
+
+    assert C.is_url("https://x.org/blip.pth")
+    assert not C.is_url("/models/blip.pt")
+
+    calls = []
+
+    def fake_urlretrieve(url, dst):
+        calls.append(url)
+        from pathlib import Path
+
+        Path(dst).write_bytes(b"ckpt")
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_urlretrieve)
+    p1 = C.download_cached_file("https://x.org/dir/blip.pth",
+                                cache_dir=tmp_path)
+    assert p1.read_bytes() == b"ckpt" and p1.name == "blip.pth"
+    p2 = C.download_cached_file("https://x.org/dir/blip.pth",
+                                cache_dir=tmp_path)
+    assert p2 == p1 and len(calls) == 1  # second call hits the cache

@@ -107,7 +107,9 @@ def models():
 
 @pytest.fixture(scope="module")
 def tokenizer():
-    return WordPieceTokenizer(build_test_vocab())
+    tok = WordPieceTokenizer(build_test_vocab())
+    tok.overflow = "truncate"  # tiny text bucket by design
+    return tok
 
 
 def test_dataset_parsing(cirr_root):
@@ -219,3 +221,21 @@ def test_stage2_rerank_end_to_end(cirr_root, models, tokenizer, tmp_path):
                       for g, r in zip(groups, refs)]
     glabels = cirr_group_labels(members_no_ref, out.group_order, targets)
     np.testing.assert_array_equal(glabels.sum(1), np.ones(N_QUERIES))
+
+    # candidate-major scheduling: same logits as the query-major path
+    # (skipped rows carry the sentinel in both; groups scored in both)
+    from candidate_reranking_cir_tpu.retrieval.rerank import (
+        rerank_candidate_major,
+    )
+
+    out_cm = rerank_candidate_major(
+        s1, s1_params, s2, s2_params, tokenizer,
+        captions=captions, reference_names=refs, topk_names=topk_names,
+        index_feats=raw, index_names=index_names, text_len=10,
+        skip_mask=skip, group_members=groups,
+        pairs_per_call=16, q_buckets=(2, 8), zt_batch=4)
+    np.testing.assert_allclose(out_cm.logits, out.logits,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_cm.group_logits, out.group_logits,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(out_cm.order, out.order)

@@ -81,6 +81,7 @@ def test_fiq_dataset_and_stage1(fiq_root, models, tmp_path):
     s1, s1p, _, _ = models
     transform = make_transform("squarepad", IMG)  # exercises SquarePad too
     tok = WordPieceTokenizer(build_test_vocab())
+    tok.overflow = "truncate"  # tiny text bucket by design
 
     classic = FashionIQDataset(fiq_root, "val", ["dress"], "classic",
                                transform)
@@ -106,6 +107,7 @@ def test_fiq_stage2_with_dress_placeholder(fiq_root, models, tmp_path):
     s1, s1p, s2, s2p = models
     transform = make_transform("targetpad", IMG, 1.25)
     tok = WordPieceTokenizer(build_test_vocab())
+    tok.overflow = "truncate"  # tiny text bucket by design
 
     for dress in ("dress", "shirt"):
         classic = FashionIQDataset(fiq_root, "val", [dress], "classic",

@@ -108,3 +108,59 @@ def test_dual_indexed_equals_per_pair():
     out = model.apply(params, z_t, ids, mask, unique, pair_map,
                       method=RerankerModel.score_indexed)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_score_grid_equals_per_query():
+    """Candidate-major score_grid == score_per_query on the transposed grid,
+    with and without the fused-attention kernel."""
+    import dataclasses as dc
+
+    import jax
+
+    from candidate_reranking_cir_tpu.config import (
+        RerankerModelConfig,
+        ViTConfig,
+    )
+    from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+
+    text = TextEncoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                             num_heads=2, intermediate_size=64,
+                             encoder_width=24, hidden_dropout=0.0,
+                             attention_dropout=0.0, merge_mlp_from=1)
+    cfg = RerankerModelConfig(
+        vit=ViTConfig(image_size=16, patch_size=8, hidden_size=24,
+                      num_layers=1, num_heads=2),
+        text=text, text_len=6)
+    rng = np.random.default_rng(7)
+    A, B, L, M = 3, 4, 6, 9  # A candidates x B queries each
+    ids = jnp.asarray(rng.integers(1, 60, size=(A, B, L)), jnp.int32)
+    mask = jnp.asarray(rng.integers(0, 2, size=(A, B, L)), jnp.int32)
+    mask = mask.at[:, :, 0].set(1)
+    z_t = jnp.asarray(rng.normal(size=(A, B, L, 32)), jnp.float32)
+    cand = jnp.asarray(rng.normal(size=(A, M, 24)), jnp.float32)
+
+    model = RerankerModel(cfg)
+    imgs = jnp.zeros((2, 16, 16, 3))
+    params = model.init(jax.random.key(0), imgs, ids[0, :2], mask[0, :2],
+                        z_t[0, :2])
+
+    out = model.apply(params, z_t, ids, mask, cand,
+                      method=RerankerModel.score_grid)  # [A, B]
+    assert out.shape == (A, B)
+
+    # reference: per-pair grid with queries flattened, each pair carrying its
+    # own candidate copy -> [A*B, 1]
+    flat = A * B
+    per_pair_cand = jnp.broadcast_to(
+        cand[:, None], (A, B, M, 24)).reshape(flat, 1, M, 24)
+    ref = model.apply(params, z_t.reshape(flat, L, 32), ids.reshape(flat, L),
+                      mask.reshape(flat, L), per_pair_cand,
+                      method=RerankerModel.score_per_query)
+    np.testing.assert_allclose(np.asarray(out).ravel(),
+                               np.asarray(ref).ravel(), atol=2e-5)
+
+    fused = RerankerModel(dc.replace(
+        cfg, text=dc.replace(text, fused_attention=True)))
+    out_f = fused.apply(params, z_t, ids, mask, cand,
+                        method=RerankerModel.score_grid)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out), atol=3e-5)

@@ -49,8 +49,10 @@ def test_metadata(pair):
 @pytest.mark.parametrize("max_len", [8, 16, 40])
 def test_encode_parity(pair, set_enc, max_len):
     py, nat = pair
-    i1, m1 = py.encode(TEXTS, max_len, set_enc_token=set_enc)
-    i2, m2 = nat.encode(TEXTS, max_len, set_enc_token=set_enc)
+    i1, m1 = py.encode(TEXTS, max_len, set_enc_token=set_enc,
+                       overflow="truncate")
+    i2, m2 = nat.encode(TEXTS, max_len, set_enc_token=set_enc,
+                        overflow="truncate")
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(m1, m2)
 
@@ -68,7 +70,19 @@ def test_fuzz_against_python(pair):
     texts = ["".join(rng.choice(rng.choice(pools))
                      for _ in range(rng.randint(0, 40)))
              for _ in range(1000)]
-    a, ma = py.encode(texts, 16)
-    b, mb = nat.encode(texts, 16)
+    a, ma = py.encode(texts, 16, overflow="truncate")
+    b, mb = nat.encode(texts, 16, overflow="truncate")
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(ma, mb)
+
+
+def test_native_overflow_policy_parity(pair):
+    py, nat = pair
+    long_caption = " ".join(["the red dress and the blue shirt"] * 7)
+    for tok in (py, nat):
+        before = tok.overflow_count
+        with pytest.raises(ValueError, match="exceed the static text bucket"):
+            tok.encode([long_caption], 8)
+        with pytest.warns(UserWarning, match="1/1 caption"):
+            tok.encode([long_caption], 8, overflow="warn")
+        assert tok.overflow_count == before + 1

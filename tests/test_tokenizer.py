@@ -46,9 +46,35 @@ def test_encode_fixed_shape():
 def test_encode_truncation_keeps_sep():
     tok = make_tok()
     ids, mask = tok.encode(["the red dress and the blue shirt and the dog"],
-                           max_len=6)
+                           max_len=6, overflow="truncate")
     assert mask[0].sum() == 6
     assert ids[0, -1] == tok.sep_id
+
+
+def test_encode_overflow_raises_by_default():
+    # Reference pads-to-longest with NO truncation (blip_stage1.py:72); a
+    # 45-token caption in a 40-token bucket must fail loudly, never silently.
+    tok = make_tok()
+    long_caption = " ".join(["the red dress and the blue shirt"] * 7)  # 49 toks
+    assert len(tok.tokenize(long_caption)) > 40
+    import pytest
+
+    with pytest.raises(ValueError, match=r"exceed the static text bucket"):
+        tok.encode([long_caption], max_len=40)
+    # fits once the bucket is raised -> identical to pad-to-longest numerics
+    ids, mask = tok.encode([long_caption], max_len=64)
+    assert mask[0].sum() == len(tok.tokenize(long_caption)) + 2
+
+
+def test_encode_overflow_warn_counts():
+    tok = make_tok()
+    tok.overflow = "warn"
+    long_caption = " ".join(["red dress"] * 30)
+    import pytest
+
+    with pytest.warns(UserWarning, match=r"1/2 caption"):
+        tok.encode([long_caption, "red dress"], max_len=16)
+    assert tok.overflow_count == 1
 
 
 def test_enc_token_injection():
