@@ -1,15 +1,25 @@
-"""Headline benchmark: stage-II re-rank scoring throughput (triplets/sec).
+"""Benchmarks for the three hot paths. Prints one JSON line each:
 
-This is the reference's bottleneck path — scoring K candidates per query with
-the dual-stream encoder (validate_stage2.py:222-254, one bs=1 forward per query
-on an A100). Here it is one batched pair-grid program at full model size
-(ViT-B/16 features M=577, 12-layer dual encoder, L=40 text bucket, bf16).
+1. stage2_rerank_triplets_per_sec — the headline: stage-II re-rank scoring
+   driven through the production candidate-major scheduler
+   (retrieval/rerank.rerank_candidate_major) on a synthetic workload with
+   CIRR-val statistics (corpus ~N/4, ~100 queries per candidate, K=50 + 5
+   group members per query). Throughput counts only REAL scheduled pairs, so
+   bucket padding waste is honestly included.
+2. stage2_train_triplets_per_sec — full jitted stage-II train step at the
+   reference config (B=16 => 256 triplets/step; frozen stage-I z_t + ViT
+   embeds + dual pair grid + AdamW, layer remat).
+3. stage1_train_pairs_per_sec — full jitted stage-I train step at the
+   reference config (B=512, frozen ViT, contrastive CE).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured_triplets_per_sec / A100_BASELINE_TRIPLETS_PER_SEC,
-where the baseline is a deliberately generous FLOP-model estimate for the
-reference on its published hardware (see BASELINE.md "Stage-II throughput
-baseline" for the derivation).
+``vs_baseline`` for the headline is measured / A100 FLOP-model estimate of
+the reference (see BASELINE.md "Stage-II throughput baseline"). Training
+lines report vs the same-path r1 measurements recorded in BASELINE.md.
+
+Timing: the remote-TPU relay does not honor block_until_ready, so the eval
+path is timed as host wall-clock around dispatch-everything-then-fetch (the
+final D2H transfers synchronize), and the train steps as data-dependent
+step chains synced by a scalar D2H, with the relay RTT subtracted.
 """
 from __future__ import annotations
 
@@ -20,60 +30,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from candidate_reranking_cir_tpu.config import RerankerModelConfig
-from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
-
 # Generous estimate of the reference implementation's stage-II scoring rate on
-# one A100 (see BASELINE.md "Stage-II throughput baseline"): ~37 GFLOP/triplet
-# (12 dual layers; cross-attn K/V projections over 577 image tokens dominate at
-# ~2.7 GFLOP/layer) at an optimistic 50% bf16 MFU => ~4,200 triplets/s.
+# one A100 (see BASELINE.md): ~37 GFLOP/triplet at an optimistic 50% bf16 MFU.
 A100_BASELINE_TRIPLETS_PER_SEC = 4_200.0
+# r1 measured train-step rates (BASELINE.md), for regression tracking.
+R1_STAGE2_TRAIN_TRIPLETS_PER_SEC = 378.0
+R1_STAGE1_TRAIN_PAIRS_PER_SEC = 185.0
 
-Q, K = 8, 50          # queries per step x candidates per query (CIRR eval K)
-WARMUP, ITERS = 2, 8
 
-
-def main():
-    cfg = RerankerModelConfig()
-    model = RerankerModel(cfg, dtype=jnp.bfloat16)
-    length = cfg.text_len
-    m_tokens = cfg.vit.num_tokens
-    d = cfg.text.hidden_size
-
-    rng = np.random.default_rng(0)
-    z_t = jnp.asarray(rng.normal(size=(Q, length, d)) * 0.02, jnp.float32)
-    ids = jnp.asarray(rng.integers(10, 20000, size=(Q, length)), jnp.int32)
-    mask = jnp.ones((Q, length), jnp.int32)
-    cand = jnp.asarray(
-        rng.normal(size=(Q, K, m_tokens, cfg.text.encoder_width)) * 0.02,
-        jnp.bfloat16)
-
-    # initialize only the text path (no ViT needed for the scoring benchmark)
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.key(0), z_t, ids, mask, cand,
-                           method=RerankerModel.score_per_query))
-    key = jax.random.key(0)
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    keys = jax.random.split(key, len(leaves))
-    params = jax.tree_util.tree_unflatten(treedef, [
-        (jax.random.normal(k, s.shape, s.dtype) * 0.02
-         if jnp.issubdtype(s.dtype, jnp.floating)
-         else jnp.zeros(s.shape, s.dtype))
-        for k, s in zip(keys, leaves)])
-
-    # Timing methodology: the remote-TPU relay in this environment does not
-    # honor block_until_ready for async dispatch, so ITERS scoring calls are
-    # chained data-dependently inside ONE jit (lax.scan) and synced by a
-    # scalar D2H; the relay round-trip is measured separately and subtracted.
-    @jax.jit
-    def score_chain(params, z_t, ids, mask, cand):
-        def body(carry, _):
-            out = model.apply(params, z_t + carry, ids, mask, cand,
-                              method=RerankerModel.score_per_query)
-            return jnp.mean(out) * 1e-9, None
-        carry, _ = jax.lax.scan(body, jnp.zeros(()), None, length=ITERS)
-        return carry
-
+def measure_rtt():
     @jax.jit
     def trivial(x):
         return x + 1.0
@@ -82,23 +47,224 @@ def main():
     t0 = time.perf_counter()
     for _ in range(5):
         float(trivial(jnp.zeros(())))
-    rtt = (time.perf_counter() - t0) / 5
+    return (time.perf_counter() - t0) / 5
 
-    for _ in range(WARMUP):
-        float(score_chain(params, z_t, ids, mask, cand))
 
-    t0 = time.perf_counter()
-    float(score_chain(params, z_t, ids, mask, cand))
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / ITERS
+def rand_params(shapes, key):
+    leaves, td = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree_util.tree_unflatten(td, [
+        (jax.random.normal(k, s.shape, s.dtype) * 0.02
+         if jnp.issubdtype(s.dtype, jnp.floating)
+         else jnp.zeros(s.shape, s.dtype))
+        for k, s in zip(keys, leaves)])
 
-    triplets_per_sec = Q * K / dt
+
+def emit(metric, value, unit, baseline):
     print(json.dumps({
-        "metric": "stage2_rerank_triplets_per_sec",
-        "value": round(triplets_per_sec, 1),
-        "unit": "triplets/s",
-        "vs_baseline": round(triplets_per_sec / A100_BASELINE_TRIPLETS_PER_SEC,
-                             3),
-    }))
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 3),
+    }), flush=True)
+
+
+class _BenchTokenizer:
+    """Pre-encoded captions: the benchmark measures device scoring, not
+    wordpiece; encode() returns deterministic ids at the bucket length."""
+
+    overflow = "truncate"
+
+    def encode(self, texts, max_len, set_enc_token=False, overflow=None):
+        rng = np.random.default_rng(42)
+        ids = rng.integers(10, 20000, size=(len(texts), max_len)).astype(
+            np.int32)
+        mask = np.ones((len(texts), max_len), np.int32)
+        return ids, mask
+
+
+def bench_stage2_eval(rtt):
+    from candidate_reranking_cir_tpu.config import RerankerModelConfig
+    from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+    from candidate_reranking_cir_tpu.models.blip_retrieval import (
+        RetrievalModel,
+    )
+    from candidate_reranking_cir_tpu.config import RetrievalModelConfig
+    from candidate_reranking_cir_tpu.retrieval.rerank import (
+        rerank_candidate_major,
+    )
+
+    s1_cfg = RetrievalModelConfig()
+    s2_cfg = RerankerModelConfig()
+    s1 = RetrievalModel(s1_cfg, dtype=jnp.bfloat16)
+    s2 = RerankerModel(s2_cfg, dtype=jnp.bfloat16)
+    L = s2_cfg.text_len
+    M = s2_cfg.vit.num_tokens
+    W = s2_cfg.text.encoder_width
+
+    # CIRR-val-like statistics at quarter scale: every corpus image recurs in
+    # ~100 queries' lists (4181*55/2297 ~= 100 on the real split)
+    n_idx, n_q, k = 574, 1044, 50
+    rng = np.random.default_rng(0)
+    index_names = [f"im{i}" for i in range(n_idx)]
+    index_feats = (jax.random.normal(
+        jax.random.key(9), (n_idx, M, W), jnp.bfloat16) * 0.05)
+
+    topk = np.empty((n_q, k), object)
+    groups = []
+    refs = []
+    for q in range(n_q):
+        sel = rng.choice(n_idx, size=k + 6, replace=False)
+        topk[q] = [index_names[i] for i in sel[:k]]
+        refs.append(index_names[sel[k]])
+        groups.append([index_names[i] for i in sel[k:]])  # ref + 5 others
+
+    ids = jnp.zeros((2, L), jnp.int32)
+    msk = jnp.ones((2, L), jnp.int32)
+    z0 = jnp.zeros((2, L, s2_cfg.text.hidden_size), jnp.bfloat16)
+    imgs = jnp.zeros((2, s2_cfg.vit.image_size, s2_cfg.vit.image_size, 3))
+    s1_params = rand_params(
+        jax.eval_shape(lambda: s1.init(jax.random.key(0), imgs, ids, msk)),
+        jax.random.key(1))
+    s2_params = rand_params(
+        jax.eval_shape(lambda: s2.init(jax.random.key(0), imgs, ids, msk,
+                                       z0)),
+        jax.random.key(2))
+
+    tok = _BenchTokenizer()
+    kw = dict(captions=[f"caption {q}" for q in range(n_q)],
+              reference_names=refs, topk_names=topk, index_feats=index_feats,
+              index_names=index_names, text_len=L, group_members=groups)
+    n_pairs = n_q * (k + 5)
+
+    # warmup run compiles the per-bucket programs; timed run is wall-clock
+    # around dispatch-all-then-fetch (the final D2H syncs the device stream)
+    rerank_candidate_major(s1, s1_params, s2, s2_params, tok, **kw)
+    t0 = time.perf_counter()
+    rerank_candidate_major(s1, s1_params, s2, s2_params, tok, **kw)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+    emit("stage2_rerank_triplets_per_sec", n_pairs / dt, "triplets/s",
+         A100_BASELINE_TRIPLETS_PER_SEC)
+
+
+def bench_stage2_train(rtt, iters=4):
+    from candidate_reranking_cir_tpu.config import (
+        RerankerModelConfig,
+        RetrievalModelConfig,
+        TextEncoderConfig,
+        TrainConfig,
+        vit_config,
+    )
+    from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+    from candidate_reranking_cir_tpu.models.blip_retrieval import (
+        RetrievalModel,
+    )
+    from candidate_reranking_cir_tpu.runtime.optim import make_optimizer
+    from candidate_reranking_cir_tpu.runtime.train_steps import (
+        TrainState,
+        make_stage2_train_step,
+    )
+
+    b = 16  # reference stage-II config (Instructions_CIRR.md:66-77)
+    s1_cfg = RetrievalModelConfig()
+    s2_cfg = RerankerModelConfig(
+        vit=vit_config("base", 384, drop_path_rate=0.1, remat=True),
+        text=TextEncoderConfig(remat=True))
+    s1 = RetrievalModel(s1_cfg, dtype=jnp.bfloat16)
+    s2 = RerankerModel(s2_cfg, dtype=jnp.bfloat16)
+    L = s2_cfg.text_len
+    im = s2_cfg.vit.image_size
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "ref_images": jnp.asarray(rng.normal(size=(b, im, im, 3)) * 0.3,
+                                  jnp.float32),
+        "target_images": jnp.asarray(rng.normal(size=(b, im, im, 3)) * 0.3,
+                                     jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(10, 20000, size=(b, L)),
+                                 jnp.int32),
+        "attention_mask": jnp.ones((b, L), jnp.int32),
+    }
+    s1_params = s1.init(jax.random.key(1), batch["ref_images"][:2],
+                        batch["input_ids"][:2], batch["attention_mask"][:2])
+    z_dummy = jnp.zeros((2, L, s2_cfg.text.hidden_size))
+    s2_params = s2.init(jax.random.key(2), batch["target_images"][:2],
+                        batch["input_ids"][:2], batch["attention_mask"][:2],
+                        z_dummy)
+    tx, _ = make_optimizer(TrainConfig(batch_size=b), s2_params, 100)
+    state = TrainState.create(s2_params, tx)
+    step = make_stage2_train_step(s1, s2, donate=True)
+
+    state, loss = step(state, s1_params, batch, jax.random.key(3))
+    float(loss)  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, s1_params, batch, jax.random.key(4))
+    float(loss)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
+    emit("stage2_train_triplets_per_sec", b * b / dt, "triplets/s",
+         R1_STAGE2_TRAIN_TRIPLETS_PER_SEC)
+
+
+def bench_stage1_train(rtt, iters=2):
+    from candidate_reranking_cir_tpu.config import (
+        RetrievalModelConfig,
+        TextEncoderConfig,
+        TrainConfig,
+        vit_config,
+    )
+    from candidate_reranking_cir_tpu.models.blip_retrieval import (
+        RetrievalModel,
+    )
+    from candidate_reranking_cir_tpu.runtime.optim import make_optimizer
+    from candidate_reranking_cir_tpu.runtime.train_steps import (
+        TrainState,
+        make_stage1_train_step,
+    )
+
+    b = 512  # reference stage-I config (Instructions_CIRR.md:18-26)
+    cfg = RetrievalModelConfig(vit=vit_config("base", 384, remat=True),
+                               text=TextEncoderConfig(remat=True))
+    model = RetrievalModel(cfg, dtype=jnp.bfloat16)
+    L = cfg.text_len
+    im = cfg.vit.image_size
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "ref_images": jnp.asarray(rng.normal(size=(b, im, im, 3)) * 0.3,
+                                  jnp.float32),
+        "target_images": jnp.asarray(rng.normal(size=(b, im, im, 3)) * 0.3,
+                                     jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(10, 20000, size=(b, L)),
+                                 jnp.int32),
+        "attention_mask": jnp.ones((b, L), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch["ref_images"][:2],
+                        batch["input_ids"][:2], batch["attention_mask"][:2])
+    tx, _ = make_optimizer(TrainConfig(batch_size=b), params, 100,
+                           freeze_prefixes=("params/visual_encoder",))
+    state = TrainState.create(params, tx)
+    step = make_stage1_train_step(model, finetune_vit=False, donate=True)
+
+    state, loss = step(state, batch, jax.random.key(1))
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch, jax.random.key(2))
+    float(loss)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
+    emit("stage1_train_pairs_per_sec", b / dt, "pairs/s",
+         R1_STAGE1_TRAIN_PAIRS_PER_SEC)
+
+
+def main():
+    rtt = measure_rtt()
+    bench_stage2_eval(rtt)
+    for fn in (bench_stage2_train, bench_stage1_train):
+        try:
+            fn(rtt)
+        except Exception as e:  # keep the headline line even if a train
+            print(f"# {fn.__name__} failed: {e}", flush=True)  # bench dies
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ import numpy as np
 from candidate_reranking_cir_tpu.cli.common import (
     add_common_flags,
     build_stage1,
+    get_mesh,
     get_tokenizer,
     get_transform,
     load_params,
@@ -59,9 +60,10 @@ def main(argv=None):
     classic = CIRRDataset(args.data_root, "test1", "classic", transform)
     relative = CIRRDataset(args.data_root, "test1", "relative", transform)
 
+    mesh = get_mesh(args)
     embed, fuse = make_stage1_fns(model, params)
     raw, pooled, index_names = build_index(classic, embed, args.batch_size,
-                                           pooled=True)
+                                           pooled=True, mesh=mesh)
 
     pair_ids, refs, captions, groups = [], [], [], []
     for i in range(len(relative)):
@@ -72,8 +74,8 @@ def main(argv=None):
         groups.append(s["group_members"])
 
     pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
-                           args.text_len, args.batch_size)
-    sorted_idx = full_ranking(pred, pooled)
+                           args.text_len, args.batch_size, mesh=mesh)
+    sorted_idx = full_ranking(pred, pooled, mesh=mesh)
     names_sorted = M.rank_names(sorted_idx, index_names)
 
     # remove the reference image from each row (cirr_test_submission.py:55-58)

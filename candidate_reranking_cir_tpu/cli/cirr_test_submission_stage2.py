@@ -14,6 +14,7 @@ from candidate_reranking_cir_tpu.cli.common import (
     add_common_flags,
     build_stage1,
     build_stage2,
+    get_mesh,
     get_tokenizer,
     get_transform,
     load_params,
@@ -21,7 +22,10 @@ from candidate_reranking_cir_tpu.cli.common import (
 from candidate_reranking_cir_tpu.data.datasets import CIRRDataset
 from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
 from candidate_reranking_cir_tpu.retrieval.index import build_index
-from candidate_reranking_cir_tpu.retrieval.rerank import rerank
+from candidate_reranking_cir_tpu.retrieval.rerank import (
+    rerank,
+    rerank_candidate_major,
+)
 from candidate_reranking_cir_tpu.retrieval.submission import (
     build_submissions,
     write_submissions,
@@ -45,6 +49,8 @@ def main(argv=None):
     parser.add_argument("--out-dir", type=str, default="submission/CIRR")
     parser.add_argument("--q-batch", type=int, default=8)
     parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--schedule", type=str, default="candidate_major",
+                        choices=["candidate_major", "query_major"])
     args = parser.parse_args(argv)
     assert args.dataset.lower() == "cirr"
 
@@ -65,8 +71,9 @@ def main(argv=None):
         return reranker.apply(s2_params, images,
                               method=RerankerModel.embed_images)
 
+    mesh = get_mesh(args)
     raw, _, index_names = build_index(classic, embed, args.batch_size,
-                                      pooled=False)
+                                      pooled=False, mesh=mesh)
 
     samples = [relative[i] for i in range(len(relative))]
     pair_ids = [s["pair_id"] for s in samples]
@@ -75,11 +82,18 @@ def main(argv=None):
     groups = [s["group_members"] for s in samples]
     topk_names = np.stack([np.asarray(s["topk_names"]) for s in samples])
 
-    out = rerank(stage1, s1_params, reranker, s2_params, tokenizer,
-                 captions=captions, reference_names=refs,
-                 topk_names=topk_names, index_feats=raw,
-                 index_names=index_names, text_len=args.text_len,
-                 q_batch=args.q_batch, group_members=groups)
+    if args.schedule == "candidate_major":
+        out = rerank_candidate_major(
+            stage1, s1_params, reranker, s2_params, tokenizer,
+            captions=captions, reference_names=refs, topk_names=topk_names,
+            index_feats=raw, index_names=index_names, text_len=args.text_len,
+            group_members=groups, mesh=mesh)
+    else:
+        out = rerank(stage1, s1_params, reranker, s2_params, tokenizer,
+                     captions=captions, reference_names=refs,
+                     topk_names=topk_names, index_feats=raw,
+                     index_names=index_names, text_len=args.text_len,
+                     q_batch=args.q_batch, group_members=groups, mesh=mesh)
 
     reranked_names = np.take_along_axis(
         np.asarray(topk_names, dtype=object), out.order, axis=1)

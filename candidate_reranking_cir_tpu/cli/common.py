@@ -55,6 +55,11 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--dress-types", type=str, nargs="+",
                         default=["dress", "shirt", "toptee"],
                         help="Fashion-IQ categories")
+    parser.add_argument("--mesh", type=str, default="auto",
+                        choices=["auto", "off"],
+                        help="'auto' shards eval over all visible chips "
+                             "(index build, query fusion, ranking, re-rank "
+                             "pair grids); 'off' runs single-device")
     parser.add_argument("--model-config", type=str, default="",
                         help="JSON overriding model dims: "
                              '{"vit": {...}, "text": {...}, "embed_dim": N}')
@@ -110,6 +115,19 @@ def get_transform(args):
                                          args.target_ratio)
         print("native image pipeline not built; falling back to PIL")
     return make_transform(args.transform, args.image_size, args.target_ratio)
+
+
+def get_mesh(args):
+    """Resolve --mesh: a data-parallel Mesh over all devices, or None."""
+    if getattr(args, "mesh", "off") != "auto":
+        return None
+    import jax
+
+    if len(jax.devices()) < 2:
+        return None
+    from candidate_reranking_cir_tpu.parallel.mesh import make_mesh
+
+    return make_mesh()
 
 
 def get_tokenizer(args):

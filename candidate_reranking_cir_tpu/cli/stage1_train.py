@@ -34,7 +34,7 @@ from candidate_reranking_cir_tpu.data.datasets import (
 from candidate_reranking_cir_tpu.data.loader import BatchLoader, prefetch
 from candidate_reranking_cir_tpu.parallel.mesh import (
     make_mesh_for_batch,
-    replicated,
+    shard_state,
     shard_batch,
 )
 from candidate_reranking_cir_tpu.retrieval.validate_engine import (
@@ -76,6 +76,10 @@ def parse_args(argv=None):
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--api-key", type=str, default="")
     parser.add_argument("--workspace", type=str, default="")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params AND optimizer moments over the "
+                             "mesh's data axis (ZeRO-style) instead of "
+                             "replicating them")
     parser.add_argument("--resume", action="store_true",
                         help="resume from <output-dir>/<exp>/saved_models/"
                              "blip_last (full train state incl. optimizer — "
@@ -149,7 +153,7 @@ def main(argv=None):
 
     best_metric = -1.0
     with jax.set_mesh(mesh):
-        state = jax.device_put(state, replicated(mesh))
+        state = shard_state(mesh, state, args.fsdp)
         for epoch in range(start_epoch, args.num_epochs):
             t0 = time.time()
             running_loss, seen = 0.0, 0

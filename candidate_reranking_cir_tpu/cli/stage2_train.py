@@ -33,6 +33,7 @@ from candidate_reranking_cir_tpu.data.loader import BatchLoader, prefetch
 from candidate_reranking_cir_tpu.parallel.mesh import (
     make_mesh_for_batch,
     replicated,
+    shard_state,
     shard_batch,
 )
 from candidate_reranking_cir_tpu.runtime.checkpoint import save_checkpoint
@@ -73,6 +74,10 @@ def parse_args(argv=None):
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--api-key", type=str, default="")
     parser.add_argument("--workspace", type=str, default="")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params AND optimizer moments over the "
+                             "mesh's data axis (ZeRO-style) instead of "
+                             "replicating them")
     parser.add_argument("--resume", action="store_true",
                         help="resume from saved_models/blip_last")
     return parser.parse_args(argv)
@@ -138,7 +143,7 @@ def main(argv=None):
 
     best_metric = -1.0
     with jax.set_mesh(mesh):
-        state = jax.device_put(state, replicated(mesh))
+        state = shard_state(mesh, state, args.fsdp)
         s1_params_dev = jax.device_put(s1_params, replicated(mesh))
         for epoch in range(start_epoch, args.num_epochs):
             t0 = time.time()

@@ -14,6 +14,7 @@ from statistics import mean
 from candidate_reranking_cir_tpu.cli.common import (
     add_common_flags,
     build_stage1,
+    get_mesh,
     get_tokenizer,
     get_transform,
     load_params,
@@ -51,6 +52,7 @@ def main(argv=None):
     params = load_params(args.stage1_path, 1, cfg)
     tokenizer = get_tokenizer(args)
     transform = get_transform(args)
+    mesh = get_mesh(args)
     k = args.k if args.save_topk else None
 
     if args.dataset.lower() == "cirr":
@@ -63,7 +65,7 @@ def main(argv=None):
         result, payload = evaluate_cirr_stage1(
             model, params, classic, relative, tokenizer,
             text_len=args.text_len, batch_size=args.batch_size,
-            save_topk_k=k)
+            save_topk_k=k, mesh=mesh)
         print_metrics(result.metrics)
         if payload is not None:
             out = args.topk_out or f"cirr_top_{args.k}_{split}.npz"
@@ -85,7 +87,7 @@ def main(argv=None):
             result, payload = evaluate_fiq_stage1(
                 model, params, classic, relative, tokenizer,
                 text_len=args.text_len, batch_size=args.batch_size,
-                save_topk_k=k, dress_types=[dress])
+                save_topk_k=k, dress_types=[dress], mesh=mesh)
             print(f"\n[{dress}]")
             print_metrics(result.metrics)
             r10s.append(result.metrics["recall_at10"])

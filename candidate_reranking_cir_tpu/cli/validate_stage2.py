@@ -7,6 +7,7 @@ from candidate_reranking_cir_tpu.cli.common import (
     add_common_flags,
     build_stage1,
     build_stage2,
+    get_mesh,
     get_tokenizer,
     get_transform,
     load_params,
@@ -29,6 +30,11 @@ def main(argv=None):
     parser.add_argument("--top-k-path", type=str, required=True)
     parser.add_argument("--K-value", dest="k_value", type=int, default=50)
     parser.add_argument("--q-batch", type=int, default=8)
+    parser.add_argument("--schedule", type=str, default="candidate_major",
+                        choices=["candidate_major", "query_major"],
+                        help="re-rank scheduling: group pairs by candidate "
+                             "(K/V amortized over ~90 queries per corpus "
+                             "image) or by query ([Qb, K] chunks)")
     args = parser.parse_args(argv)
 
     stage1, s1_cfg = build_stage1(args)
@@ -37,13 +43,15 @@ def main(argv=None):
     s2_params = load_params(args.stage2_path, 2, s2_cfg)
     tokenizer = get_tokenizer(args)
     transform = get_transform(args)
+    mesh = get_mesh(args)
 
     if args.dataset.lower() == "cirr":
         mets = evaluate_cirr_stage2(
             stage1, s1_params, reranker, s2_params, tokenizer,
             data_root=args.data_root, transform=transform,
             top_k_path=args.top_k_path, k=args.k_value,
-            text_len=args.text_len, q_batch=args.q_batch)
+            text_len=args.text_len, q_batch=args.q_batch, mesh=mesh,
+            schedule=args.schedule)
         print_metrics(mets)
         print(f"recall_mean = {mets['mean_r5_rs1']:.2f}")
     elif args.dataset.lower() == "fashioniq":
@@ -51,7 +59,8 @@ def main(argv=None):
             stage1, s1_params, reranker, s2_params, tokenizer,
             data_root=args.data_root, transform=transform,
             top_k_path=args.top_k_path, k=args.k_value,
-            text_len=args.text_len, q_batch=args.q_batch)
+            text_len=args.text_len, q_batch=args.q_batch, mesh=mesh,
+            schedule=args.schedule)
         print_metrics(mets)
     else:
         raise ValueError("Dataset should be either 'CIRR' or 'fashionIQ'")

@@ -7,10 +7,16 @@ Components:
 - ``BertLMHead``: transform dense -> GELU -> LayerNorm -> vocab projection
   (+ bias), matching the reference's BertLMPredictionHead parameterization
   (cls.predictions.* checkpoint keys, converted in runtime/convert.py).
-- ``CaptionDecoder``: ViT image encoder + causal MED decoder + LM head with
-  fixed-length greedy decoding. Decoding recomputes the full (short) prefix
-  per step — at caption lengths (<=40 tokens) this keeps one compiled
-  program and avoids KV-cache plumbing; a cache is a later optimization.
+- ``CaptionDecoder``: ViT image encoder + causal MED decoder + LM head.
+
+Two decoding paths, output-identical:
+- recompute (``greedy_caption`` / ``beam_caption``): full-prefix forward per
+  step, O(T^2) — simple, used as the parity reference;
+- KV-cache (``greedy_caption_cached`` / ``beam_caption_cached``): image
+  cross-attn K/V projected ONCE per decode and self-attn K/V appended per
+  layer, one-token forward per step (the reference's cache capability,
+  med.py:179-190, 647-666). Greedy runs the whole decode as a single jitted
+  ``lax.scan``.
 """
 from __future__ import annotations
 
@@ -65,6 +71,133 @@ class CaptionDecoder(nn.Module):
         hidden = self.text_decoder(input_ids, attention_mask, image_feats,
                                    causal=True, deterministic=deterministic)
         return self.lm_head(hidden)
+
+    def precompute_kv(self, image_feats):
+        """Project every layer's cross-attn K/V of the image tokens once.
+        Returns (k_img, v_img) stacked [n_layers, B, M, H, D]."""
+        return self.text_decoder(None, None, image_feats,
+                                 precompute_image_kv=True)
+
+    def decode_step(self, token_ids, cache_mask, decode_cache, cache_index):
+        """One-token cached decode: token_ids [B, 1] at position cache_index,
+        cache_mask [B, T] validity of cache slots. Returns
+        (vocab logits [B, V], (new_k_self, new_v_self))."""
+        hidden, new_self = self.text_decoder(
+            token_ids, cache_mask, decode_cache=decode_cache,
+            cache_index=cache_index)
+        return self.lm_head(hidden[:, 0]), new_self
+
+
+def _self_cache(decoder: CaptionDecoder, b: int, max_len: int):
+    cfg = decoder.cfg.text
+    shape = (cfg.num_layers, b, max_len, cfg.num_heads, cfg.head_dim)
+    return jnp.zeros(shape, decoder.dtype), jnp.zeros(shape, decoder.dtype)
+
+
+def greedy_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
+                          bos_id: int, eos_id: int, pad_id: int,
+                          max_len: int = 20) -> jnp.ndarray:
+    """KV-cached greedy decode, output-identical to ``greedy_caption``.
+
+    The whole decode is ONE jitted ``lax.scan`` over steps: image cross-attn
+    K/V are projected once up front, each step runs a one-token forward and
+    appends its self-attn K/V — O(T) attention instead of O(T^2) full-prefix
+    recompute, and a single device program for the entire caption.
+    """
+    b = image_feats.shape[0]
+
+    @jax.jit
+    def decode(params, image_feats):
+        k_img, v_img = decoder.apply(params, image_feats,
+                                     method=CaptionDecoder.precompute_kv)
+        k_self, v_self = _self_cache(decoder, b, max_len)
+        ids = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+        mask = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(1)
+        finished = jnp.zeros((b,), bool)
+
+        def body(carry, t):
+            ids, mask, k_self, v_self, finished = carry
+            tok = jax.lax.dynamic_slice_in_dim(ids, t, 1, axis=1)
+            logits, (k_self, v_self) = decoder.apply(
+                params, tok, mask, (k_self, v_self, k_img, v_img), t,
+                method=CaptionDecoder.decode_step)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(finished, pad_id, nxt)
+            ids = jax.lax.dynamic_update_slice_in_dim(
+                ids, nxt[:, None], t + 1, axis=1)
+            mask = jax.lax.dynamic_update_slice_in_dim(
+                mask, (~finished).astype(jnp.int32)[:, None], t + 1, axis=1)
+            finished = finished | (nxt == eos_id)
+            return (ids, mask, k_self, v_self, finished), None
+
+        carry = (ids, mask, k_self, v_self, finished)
+        (ids, *_), _ = jax.lax.scan(body, carry, jnp.arange(max_len - 1))
+        return ids
+
+    return decode(params, image_feats)
+
+
+def beam_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
+                        bos_id: int, eos_id: int, pad_id: int,
+                        max_len: int = 20, num_beams: int = 3,
+                        length_penalty: float = 1.0):
+    """KV-cached beam search, output-identical to ``beam_caption``.
+
+    Host loop over steps (beam bookkeeping), one-token jitted forward per
+    step; beam reordering gathers the self-attn caches along the beam axis.
+    """
+    b = image_feats.shape[0]
+    nb = num_beams
+    feats = jnp.repeat(image_feats, nb, axis=0)          # [B*nb, M, W]
+
+    @jax.jit
+    def prep(params, feats):
+        return decoder.apply(params, feats, method=CaptionDecoder.precompute_kv)
+
+    @jax.jit
+    def step_logprobs(params, img_kv, tok, mask, k_self, v_self, t):
+        logits, new_self = decoder.apply(
+            params, tok, mask, (k_self, v_self, *img_kv), t,
+            method=CaptionDecoder.decode_step)
+        return jax.nn.log_softmax(logits, axis=-1), new_self
+
+    img_kv = prep(params, feats)
+    k_self, v_self = _self_cache(decoder, b * nb, max_len)
+    vocab = decoder.cfg.text.vocab_size
+    ids = jnp.full((b * nb, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    mask = jnp.zeros((b * nb, max_len), jnp.int32).at[:, 0].set(1)
+    scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (nb - 1)), b)
+    finished = jnp.zeros((b * nb,), bool)
+    lengths = jnp.ones((b * nb,), jnp.int32)
+
+    for t in range(max_len - 1):
+        tok = ids[:, t:t + 1]
+        lp, (k_self, v_self) = step_logprobs(params, img_kv, tok, mask,
+                                             k_self, v_self, t)
+        frozen = jnp.full((b * nb, vocab), -1e9).at[:, pad_id].set(0.0)
+        lp = jnp.where(finished[:, None], frozen, lp)
+        cand = (scores[:, None] + lp).reshape(b, nb * vocab)
+        top_scores, top_idx = jax.lax.top_k(cand, nb)
+        beam_idx = top_idx // vocab + jnp.arange(b)[:, None] * nb
+        token = (top_idx % vocab).reshape(-1).astype(jnp.int32)
+        sel = beam_idx.reshape(-1)
+
+        # reorder beam state INCLUDING the per-layer self caches
+        k_self = k_self[:, sel]
+        v_self = v_self[:, sel]
+        ids = ids[sel].at[:, t + 1].set(token)
+        was_finished = finished[sel]
+        mask = mask[sel].at[:, t + 1].set((~was_finished).astype(jnp.int32))
+        lengths = lengths[sel] + (~was_finished).astype(jnp.int32)
+        scores = top_scores.reshape(-1)
+        finished = was_finished | (token == eos_id)
+        if bool(finished.all()):
+            break
+
+    norm = scores / jnp.maximum(lengths, 1).astype(
+        jnp.float32) ** length_penalty
+    best = jnp.argmax(norm.reshape(b, nb), axis=-1) + jnp.arange(b) * nb
+    return ids[best]
 
 
 def beam_caption(decoder: CaptionDecoder, params, image_feats, *,

@@ -114,17 +114,57 @@ class MultiHeadAttention(nn.Module):
     # (vit.py:58-81, med.py:129-133); read back via
     # model.apply(..., capture_intermediates=True) or mutable=['intermediates']
     capture_attention: bool = False
+    # additionally register the probs as a flax perturbation — the functional
+    # equivalent of the reference's save_attn_gradients backward hook
+    # (vit.py:58-81): jax.grad w.r.t. the 'perturbations' collection yields
+    # dLoss/dAttnProbs (see tests/test_attention_capture.py)
+    perturb_attention: bool = False
 
     @nn.compact
-    def __call__(self, x, y=None, bias=None, *, deterministic: bool = True):
+    def __call__(self, x, y=None, bias=None, *, deterministic: bool = True,
+                 kv_only: bool = False, precomputed_kv=None, cache=None,
+                 cache_index=None):
+        """Incremental-decoding extensions (all default-off):
+
+        kv_only=True      project and return (k, v) of ``y`` only — used to
+                          precompute image K/V once per decode instead of
+                          per generated token (reference med.py:179-190).
+        precomputed_kv    (k, v) to attend over, skipping the projections.
+        cache             (k_cache, v_cache) [.., T, H, D]: ``x`` is a single
+                          [.., 1, D] step; its K/V are written at cache_index
+                          and attention runs over the updated cache. Returns
+                          (out, (new_k_cache, new_v_cache)).
+        """
         y = x if y is None else y
+        if kv_only:
+            k = HeadProjection(self.num_heads, self.head_dim, self.dtype,
+                               name="key")(y)
+            v = HeadProjection(self.num_heads, self.head_dim, self.dtype,
+                               name="value")(y)
+            return k, v
         q = HeadProjection(self.num_heads, self.head_dim, self.dtype, name="query")(x)
-        k = HeadProjection(self.num_heads, self.head_dim, self.dtype, name="key")(y)
-        v = HeadProjection(self.num_heads, self.head_dim, self.dtype, name="value")(y)
+        new_cache = None
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+        elif cache is not None:
+            k_new = HeadProjection(self.num_heads, self.head_dim, self.dtype,
+                                   name="key")(x)
+            v_new = HeadProjection(self.num_heads, self.head_dim, self.dtype,
+                                   name="value")(x)
+            k = jax.lax.dynamic_update_slice_in_dim(
+                cache[0], k_new.astype(cache[0].dtype), cache_index, axis=-3)
+            v = jax.lax.dynamic_update_slice_in_dim(
+                cache[1], v_new.astype(cache[1].dtype), cache_index, axis=-3)
+            new_cache = (k, v)
+        else:
+            k = HeadProjection(self.num_heads, self.head_dim, self.dtype,
+                               name="key")(y)
+            v = HeadProjection(self.num_heads, self.head_dim, self.dtype,
+                               name="value")(y)
         rng = None
         if self.dropout_rate > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
-        if self.capture_attention:
+        if self.capture_attention or self.perturb_attention:
             scores = jnp.einsum("...qhd,...khd->...hqk", q, k,
                                 preferred_element_type=jnp.float32)
             scores = scores.astype(jnp.float32) * self.head_dim ** -0.5
@@ -132,6 +172,8 @@ class MultiHeadAttention(nn.Module):
                 scores = scores + bias.astype(jnp.float32)
             probs = jax.nn.softmax(scores, axis=-1)
             self.sow("intermediates", "attn_probs", probs)
+            if self.perturb_attention:
+                probs = self.perturb("attn_probs", probs)
             ctx = jnp.einsum("...hqk,...khd->...qhd", probs.astype(self.dtype),
                              v, preferred_element_type=jnp.float32
                              ).astype(self.dtype)
@@ -140,7 +182,10 @@ class MultiHeadAttention(nn.Module):
                 q, k, v, bias,
                 dropout_rate=self.dropout_rate, dropout_rng=rng,
                 deterministic=deterministic, fused=self.fused)
-        return HeadOutProjection(self.out_features, self.dtype, name="out")(ctx)
+        out = HeadOutProjection(self.out_features, self.dtype, name="out")(ctx)
+        if new_cache is not None:
+            return out, new_cache
+        return out
 
 
 class Mlp(nn.Module):

@@ -9,11 +9,14 @@ TPU-first structure: one ``nn.scan`` over stacked layer parameters, static text
 length (the reference pads to the longest caption in each batch — here a fixed
 bucket + mask gives identical CLS outputs with a single compiled program).
 
-The decoder/causal/KV-cache path of the reference (med.py:179-190, 647-666) is
-unused by CIR and intentionally omitted; captioning would be a separate module.
+The reference's decoder path (med.py:179-190, 647-666) is covered too:
+``causal=True`` for teacher-forced training, and an incremental KV-cache mode
+(``precompute_image_kv`` / ``decode_cache``) used by models/blip_decoder.py for
+one-token-per-step caption generation.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -33,7 +36,10 @@ class BertEmbeddings(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, *, deterministic: bool = True):
+    def __call__(self, input_ids, *, position=None, deterministic: bool = True):
+        """position=None embeds a full [.., L] buffer at positions 0..L-1;
+        an integer/traced ``position`` embeds a single-step [.., 1] token at
+        that absolute position (incremental decoding)."""
         cfg = self.cfg
         word = self.param(
             "word_embeddings", nn.initializers.normal(cfg.initializer_range),
@@ -41,8 +47,12 @@ class BertEmbeddings(nn.Module):
         pos = self.param(
             "position_embeddings", nn.initializers.normal(cfg.initializer_range),
             (cfg.max_position_embeddings, cfg.hidden_size), jnp.float32)
-        seq_len = input_ids.shape[-1]
-        x = jnp.take(word, input_ids, axis=0) + pos[:seq_len]
+        if position is None:
+            seq_len = input_ids.shape[-1]
+            x = jnp.take(word, input_ids, axis=0) + pos[:seq_len]
+        else:
+            x = (jnp.take(word, input_ids, axis=0)
+                 + jax.lax.dynamic_slice_in_dim(pos, position, 1, axis=0))
         x = LayerNorm(cfg.layer_norm_eps, self.dtype, name="ln")(x.astype(self.dtype))
         return nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
 
@@ -54,14 +64,27 @@ class BertSelfAttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, kv=None, bias=None, *, deterministic: bool = True):
+    def __call__(self, x, kv=None, bias=None, *, deterministic: bool = True,
+                 kv_only: bool = False, precomputed_kv=None, cache=None,
+                 cache_index=None):
         cfg = self.cfg
-        ctx = MultiHeadAttention(
+        attn = MultiHeadAttention(
             cfg.num_heads, cfg.head_dim, cfg.hidden_size, self.dtype,
-            cfg.attention_dropout, fused=cfg.fused_attention, name="attn")(
-                x, kv, bias, deterministic=deterministic)
+            cfg.attention_dropout, fused=cfg.fused_attention, name="attn")
+        if kv_only:
+            return attn(x, kv, kv_only=True)
+        new_cache = None
+        if cache is not None:
+            ctx, new_cache = attn(x, kv, bias, deterministic=deterministic,
+                                  cache=cache, cache_index=cache_index)
+        else:
+            ctx = attn(x, kv, bias, deterministic=deterministic,
+                       precomputed_kv=precomputed_kv)
         ctx = nn.Dropout(cfg.hidden_dropout)(ctx, deterministic=deterministic)
-        return LayerNorm(cfg.layer_norm_eps, self.dtype, name="ln")(ctx + x)
+        out = LayerNorm(cfg.layer_norm_eps, self.dtype, name="ln")(ctx + x)
+        if new_cache is not None:
+            return out, new_cache
+        return out
 
 
 class BertFFN(nn.Module):
@@ -82,7 +105,16 @@ class BertFFN(nn.Module):
 
 class MedLayer(nn.Module):
     """One MED layer; cross-attention is applied only in 'multimodal' mode
-    (med.py:373-385). Scan-compatible signature."""
+    (med.py:373-385). Scan-compatible signature.
+
+    Incremental decoding (reference med.py:179-190's KV-cache capability):
+    - precompute_img_kv=True: only project this layer's cross-attn K/V of
+      ``image_kv`` and emit them as the scan output (paid once per decode).
+    - step_cache=(k_self, v_self, k_img, v_img): ``x`` is one [B, 1, D]
+      token; self-attn K/V are appended into the cache at ``cache_index``
+      and cross-attn reuses the precomputed image K/V. Emits the updated
+      self cache.
+    """
 
     cfg: TextEncoderConfig
     multimodal: bool
@@ -90,13 +122,36 @@ class MedLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, text_bias, image_kv, image_bias,
-                 deterministic: bool = True):
-        x = BertSelfAttentionBlock(self.cfg, self.dtype, name="self_attn")(
-            x, None, text_bias, deterministic=deterministic)
-        if self.multimodal:
-            x = BertSelfAttentionBlock(self.cfg, self.dtype, name="cross_attn")(
-                x, image_kv, image_bias, deterministic=deterministic)
-        x = BertFFN(self.cfg, self.dtype, name="ffn")(x, deterministic=deterministic)
+                 deterministic: bool = True, step_cache=None,
+                 cache_index=None, precompute_img_kv: bool = False):
+        self_attn = BertSelfAttentionBlock(self.cfg, self.dtype,
+                                           name="self_attn")
+        cross_attn = (BertSelfAttentionBlock(self.cfg, self.dtype,
+                                             name="cross_attn")
+                      if self.multimodal else None)
+        ffn = BertFFN(self.cfg, self.dtype, name="ffn")
+
+        if precompute_img_kv:
+            return x, cross_attn(x, image_kv, kv_only=True)
+
+        if step_cache is not None:
+            k_self, v_self, k_img, v_img = step_cache
+            x, new_self = self_attn(x, None, text_bias,
+                                    deterministic=deterministic,
+                                    cache=(k_self, v_self),
+                                    cache_index=cache_index)
+            if cross_attn is not None:
+                x = cross_attn(x, None, image_bias,
+                               deterministic=deterministic,
+                               precomputed_kv=(k_img, v_img))
+            x = ffn(x, deterministic=deterministic)
+            return x, new_self
+
+        x = self_attn(x, None, text_bias, deterministic=deterministic)
+        if cross_attn is not None:
+            x = cross_attn(x, image_kv, image_bias,
+                           deterministic=deterministic)
+        x = ffn(x, deterministic=deterministic)
         return x, None
 
 
@@ -118,9 +173,63 @@ class TextEncoder(nn.Module):
     @nn.compact
     def __call__(self, input_ids, attention_mask, image_embeds=None,
                  image_mask=None, *, causal: bool = False,
-                 deterministic: bool = True):
+                 deterministic: bool = True, decode_cache=None,
+                 cache_index=None, precompute_image_kv: bool = False,
+                 mode: str | None = None):
+        """``mode`` overrides the construction-time mode per call (the
+        reference's BertModel takes mode at forward time, med.py:373-385);
+        'text' skips the cross-attention blocks, leaving their parameters
+        untouched — used by BlipBase's text mode (blip.py:57-61).
+
+        Incremental decoding (reference med.py:179-190, 647-666):
+
+        precompute_image_kv=True — project every layer's cross-attention K/V
+        of ``image_embeds`` once; returns (k_img, v_img) stacked
+        [n_layers, B, M, H, D]. Paid once per decode instead of per token.
+
+        decode_cache=(k_self, v_self, k_img, v_img) — one-token step:
+        input_ids is [B, 1] at absolute position ``cache_index``;
+        attention_mask is the full [B, T] cache-validity mask (causality is
+        implicit — future positions are still 0). Returns
+        (hidden [B, 1, D], (new_k_self, new_v_self)).
+        """
         cfg = self.cfg
-        multimodal = self.mode == "multimodal"
+        multimodal = (mode if mode is not None else self.mode) == "multimodal"
+
+        def make_stack():
+            layer = MedLayer
+            if cfg.remat:
+                # deterministic / precompute_img_kv are static python bools
+                # (args 5 and 8 counting the module instance as arg 0)
+                layer = nn.remat(layer, static_argnums=(5, 8),
+                                 prevent_cse=False)
+            return nn.scan(
+                layer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast, 0, nn.broadcast, nn.broadcast),
+                length=cfg.num_layers,
+            )(cfg=cfg, multimodal=multimodal, dtype=self.dtype, name="layers")
+
+        if precompute_image_kv:
+            assert multimodal and image_embeds is not None
+            dummy = jnp.zeros((), self.dtype)
+            _, img_kv = make_stack()(
+                dummy, None, image_embeds.astype(self.dtype), None,
+                deterministic, None, None, True)
+            return img_kv
+
+        if decode_cache is not None:
+            k_self, v_self, k_img, v_img = decode_cache
+            x = BertEmbeddings(cfg, self.dtype, name="embeddings")(
+                input_ids, position=cache_index, deterministic=deterministic)
+            text_bias = make_additive_mask(attention_mask, jnp.float32)
+            x, new_self = make_stack()(
+                x, text_bias, None, None, deterministic,
+                (k_self, v_self, k_img, v_img), cache_index, False)
+            return x, new_self
+
         x = BertEmbeddings(cfg, self.dtype, name="embeddings")(
             input_ids, deterministic=deterministic)
 
@@ -139,16 +248,6 @@ class TextEncoder(nn.Module):
         else:
             image_embeds, image_bias = None, None
 
-        layer = MedLayer
-        if cfg.remat:
-            # deterministic is a static python bool (arg 5 incl. module)
-            layer = nn.remat(layer, static_argnums=(5,), prevent_cse=False)
-        stack = nn.scan(
-            layer,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
-            length=cfg.num_layers,
-        )(cfg=cfg, multimodal=multimodal, dtype=self.dtype, name="layers")
-        x, _ = stack(x, text_bias, image_embeds, image_bias, deterministic)
+        x, _ = make_stack()(x, text_bias, image_embeds, image_bias,
+                            deterministic, None, None, False)
         return x

@@ -32,6 +32,24 @@ def make_mesh_for_batch(batch_size: int, devices=None,
     return Mesh(np.asarray(devices[:n]), (data_axis,))
 
 
+def fit_mesh(mesh: Mesh | None, batch_size: int,
+             data_axis: str = "data") -> Mesh | None:
+    """Shrink a mesh so its data axis divides ``batch_size`` (a batch smaller
+    than the device count cannot shard its leading dim). Returns None when
+    only one device fits — callers then skip sharding entirely."""
+    if mesh is None:
+        return None
+    devices = list(mesh.devices.flat)
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        return None
+    if n == len(devices):
+        return mesh
+    return Mesh(np.asarray(devices[:n]), (data_axis,))
+
+
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim, replicate the rest."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
@@ -66,6 +84,29 @@ def param_shardings(mesh: Mesh, params, fsdp: bool):
     return jax.tree.map(
         lambda p: NamedSharding(mesh, fsdp_param_spec(p.shape, axis_size)),
         params)
+
+
+def state_shardings(mesh: Mesh, state, fsdp: bool):
+    """Sharding tree for a full TrainState (step/params/opt_state).
+
+    Under FSDP the optimizer moments follow the SAME shape-based rule as the
+    parameters (AdamW's mu/nu mirror the param shapes), so optimizer memory
+    shrinks by the mesh size too — replicating opt_state would forfeit the
+    ZeRO win. Scalars (step, count) replicate.
+    """
+    if not fsdp:
+        rep = replicated(mesh)
+        return jax.tree.map(lambda _: rep, state)
+    axis_size = mesh.shape["data"]
+    return jax.tree.map(
+        lambda leaf: NamedSharding(
+            mesh, fsdp_param_spec(np.shape(leaf), axis_size)),
+        state)
+
+
+def shard_state(mesh: Mesh, state, fsdp: bool):
+    """device_put a TrainState with FSDP-aware shardings."""
+    return jax.device_put(state, state_shardings(mesh, state, fsdp))
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -49,8 +49,12 @@ def build_index(dataset, embed_fn: Callable, batch_size: int = 32, *,
     Returns (raw [N, M, D] feature_dtype on device, pooled [N, E] fp32 or None,
     names list).
     """
-    from candidate_reranking_cir_tpu.parallel.mesh import batch_sharding
+    from candidate_reranking_cir_tpu.parallel.mesh import (
+        batch_sharding,
+        fit_mesh,
+    )
 
+    shard_mesh = fit_mesh(mesh, batch_size)
     raw_chunks, pooled_chunks, names_all = [], [], []
     for names, images in iter_batches(dataset, batch_size):
         valid = len(names)
@@ -58,8 +62,8 @@ def build_index(dataset, embed_fn: Callable, batch_size: int = 32, *,
             pad = np.zeros((batch_size - valid, *images.shape[1:]),
                            images.dtype)
             images = np.concatenate([images, pad])
-        if mesh is not None:
-            images = jax.device_put(images, batch_sharding(mesh, 4))
+        if shard_mesh is not None:
+            images = jax.device_put(images, batch_sharding(shard_mesh, 4))
         out = embed_fn(images)
         if pooled:
             raw, pool = out
@@ -72,6 +76,14 @@ def build_index(dataset, embed_fn: Callable, batch_size: int = 32, *,
     raw_all = jnp.asarray(np.concatenate(raw_chunks))
     pooled_all = (jnp.asarray(np.concatenate(pooled_chunks))
                   if pooled else None)
+    if mesh is not None:
+        # replicate the feature bank so downstream sharded programs read
+        # their gathers locally instead of pulling from one chip
+        from candidate_reranking_cir_tpu.parallel.mesh import replicated
+
+        raw_all = jax.device_put(raw_all, replicated(mesh))
+        if pooled_all is not None:
+            pooled_all = jax.device_put(pooled_all, replicated(mesh))
     return raw_all, pooled_all, names_all
 
 

@@ -40,8 +40,19 @@ class RerankOutput:
     group_order: np.ndarray | None
 
 
+_FN_CACHE: dict = {}
+
+
 def make_rerank_fns(stage1: RetrievalModel, reranker: RerankerModel):
-    """Jitted (z_t producer, [Qb, K] scorer, indexed scorer) triple."""
+    """Jitted (z_t producer, [Qb, K] scorer, indexed scorer) triple.
+
+    Memoized per (stage1, reranker) instance: a fresh ``jax.jit`` object per
+    call would throw away the compilation cache, recompiling multi-minute
+    programs on every evaluation (e.g. per Fashion-IQ category).
+    """
+    key = ("rerank_fns", id(stage1), id(reranker))
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
 
     @jax.jit
     def produce_zt(s1_params, ref_feats, ids, mask):
@@ -58,7 +69,8 @@ def make_rerank_fns(stage1: RetrievalModel, reranker: RerankerModel):
         return reranker.apply(s2_params, z_t, ids, mask, unique_cand,
                               pair_map, method=RerankerModel.score_indexed)
 
-    return produce_zt, score, score_indexed
+    _FN_CACHE[key] = (produce_zt, score, score_indexed)
+    return _FN_CACHE[key]
 
 
 def cluster_queries(cand_idx: np.ndarray, q_batch: int) -> np.ndarray:
@@ -69,13 +81,22 @@ def cluster_queries(cand_idx: np.ndarray, q_batch: int) -> np.ndarray:
     return np.argsort(cand_idx[:, 0], kind="stable")
 
 
+def _shard0(mesh, *arrays):
+    """device_put arrays with their leading axis sharded over the mesh."""
+    from candidate_reranking_cir_tpu.parallel.mesh import batch_sharding
+
+    return tuple(jax.device_put(a, batch_sharding(mesh, a.ndim))
+                 for a in arrays)
+
+
 def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
            captions: list[str], reference_names: list[str],
            topk_names: np.ndarray, index_feats, index_names: list[str],
            text_len: int, q_batch: int = 8,
            skip_mask: np.ndarray | None = None,
            group_members: list[list[str]] | None = None,
-           dedup: bool = False, dedup_cap: float = 0.625) -> RerankOutput:
+           dedup: bool = False, dedup_cap: float = 0.625,
+           mesh=None) -> RerankOutput:
     """Score every query's K candidates (and optional 5-member groups).
 
     index_feats: [N_idx, M, W] stage-II ViT features (device array).
@@ -89,10 +110,17 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
     unchanged (results are scattered back). Default OFF: measured on v5e,
     XLA's gather materialization of the per-pair K/V outweighs the projection
     FLOPs saved (662 vs 1860 triplets/s) — revisit with a manual-DMA kernel.
+
+    mesh: optional jax Mesh — re-ranking is embarrassingly parallel over
+    queries, so each chunk's query axis is sharded over the data axis
+    (q_batch must divide the mesh size).
     """
+    from candidate_reranking_cir_tpu.parallel.mesh import fit_mesh
+
     n = len(captions)
     k = topk_names.shape[1]
     produce_zt, score, score_indexed = make_rerank_fns(stage1, reranker)
+    mesh = fit_mesh(mesh, q_batch)
 
     pos = {name: i for i, name in enumerate(index_names)}
     ref_idx = np.asarray([pos[r] for r in reference_names], np.int32)
@@ -135,6 +163,8 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
         ids = jnp.asarray(ids_all[rows])
         msk = jnp.asarray(mask_all[rows])
         refs = jnp.take(index_feats, jnp.asarray(ref_idx[rows]), axis=0)
+        if mesh is not None:
+            ids, msk, refs = _shard0(mesh, ids, msk, refs)
         z_t = produce_zt(s1_params, refs, ids, msk)
 
         chunk_cand = cand_idx_all[rows]
@@ -148,6 +178,8 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
                                 pair_map)
         else:
             cands = jnp.take(index_feats, jnp.asarray(chunk_cand), axis=0)
+            if mesh is not None:
+                (cands,) = _shard0(mesh, cands)
             out = score(s2_params, z_t, ids, msk, cands)
         out = np.asarray(out[:count], np.float32)
         logits[rows[:count]] = out[:, :k]
@@ -164,6 +196,46 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
     return RerankOutput(logits, grp_logits, rank_order, group_order)
 
 
+def make_cand_major_fns(stage1: RetrievalModel, reranker: RerankerModel):
+    """Memoized jitted programs for the candidate-major scheduler: the
+    all-queries z_t scan and the per-bucket scoring scan."""
+    key = ("cand_major_fns", id(stage1), id(reranker))
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+
+    @jax.jit
+    def produce_all_zt(s1_params, feats, ids, mask, ref_rows, row_chunks):
+        def body(carry, rows):
+            refs = jnp.take(feats, jnp.take(ref_rows, rows), axis=0)
+            z = stage1.apply(s1_params, refs, jnp.take(ids, rows, axis=0),
+                             jnp.take(mask, rows, axis=0), return_raw=True,
+                             method=RetrievalModel.fuse)
+            return carry, z
+        _, zs = jax.lax.scan(body, 0.0, row_chunks)
+        return zs.reshape(-1, *zs.shape[2:])
+
+    @jax.jit
+    def bucket_scan(s2_params, zt, ids, mask, feats, rows, cands):
+        a, bb = rows.shape[1], rows.shape[2]
+
+        def body(carry, xs):
+            r, c = xs
+            flat = r.reshape(-1)
+            z = jnp.take(zt, flat, axis=0).reshape(a, bb, *zt.shape[1:])
+            i = jnp.take(ids, flat, axis=0).reshape(a, bb, -1)
+            m = jnp.take(mask, flat, axis=0).reshape(a, bb, -1)
+            cf = jnp.take(feats, c, axis=0)
+            s = reranker.apply(s2_params, z, i, m, cf,
+                               method=RerankerModel.score_grid)
+            return carry, s
+
+        _, scores = jax.lax.scan(body, 0.0, (rows, cands))
+        return scores  # [n_calls, A, B]
+
+    _FN_CACHE[key] = (produce_all_zt, bucket_scan)
+    return _FN_CACHE[key]
+
+
 def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
                            captions: list[str], reference_names: list[str],
                            topk_names: np.ndarray, index_feats,
@@ -172,7 +244,7 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
                            group_members: list[list[str]] | None = None,
                            pairs_per_call: int = 512,
                            q_buckets: tuple[int, ...] = (8, 32, 128),
-                           zt_batch: int = 32) -> RerankOutput:
+                           zt_batch: int = 32, mesh=None) -> RerankOutput:
     """Candidate-major re-rank scheduling: same outputs as ``rerank`` but the
     (query, candidate) pairs are grouped BY CANDIDATE, so each candidate's
     cross-attention K/V projections — the dominant FLOP term the reference
@@ -186,17 +258,23 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
     (validate_stage2.py:261-269 runs groups regardless).
 
     Static shapes: per-candidate query lists are padded into ``q_buckets``
-    and batched ``A`` candidates per call with A*B == pairs_per_call, so the
-    whole evaluation compiles to one program per bucket size.
+    and batched ``A`` candidates per call with A*B == pairs_per_call.
+
+    Dispatch: ALL of a bucket's calls run inside ONE jitted ``lax.scan`` —
+    the row indices, token ids and features are uploaded to the device once
+    and gathered inside the program, so the host issues one dispatch and one
+    D2H fetch per bucket instead of hundreds of small transfers (which
+    dominate wall-clock through the remote-TPU relay).
+
+    mesh: optional jax Mesh — the candidate axis A of every call is sharded
+    over the data axis (each chip scores its slice of candidates); A is
+    rounded up to a multiple of the mesh size.
     """
     n = len(captions)
     k = topk_names.shape[1]
-    produce_zt, _, _ = make_rerank_fns(stage1, reranker)
-
-    @jax.jit
-    def score_grid(p, z_t, ids, mask, cand):
-        return reranker.apply(p, z_t, ids, mask, cand,
-                              method=RerankerModel.score_grid)
+    n_dev = 1 if mesh is None else mesh.devices.size
+    if mesh is not None and zt_batch % n_dev != 0:
+        zt_batch = ((zt_batch + n_dev - 1) // n_dev) * n_dev
 
     pos = {name: i for i, name in enumerate(index_names)}
     ref_idx = np.asarray([pos[r] for r in reference_names], np.int32)
@@ -215,20 +293,31 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
         grp_idx = np.asarray(
             [[pos[m] for m in row] for row in members_no_ref], np.int32)
 
-    # ---- 1. produce z_t for every query once (chunked, fixed shape) -------
-    zt_chunks = []
-    for start in range(0, n, zt_batch):
-        rows = np.arange(start, min(start + zt_batch, n))
-        if len(rows) < zt_batch:
-            rows = np.concatenate(
-                [rows, np.repeat(rows[:1], zt_batch - len(rows))])
-        refs = jnp.take(index_feats, jnp.asarray(ref_idx[rows]), axis=0)
-        zt_chunks.append(produce_zt(s1_params, refs,
-                                    jnp.asarray(ids_all[rows]),
-                                    jnp.asarray(mask_all[rows])))
-    zt_all = jnp.concatenate(zt_chunks, axis=0)[:n]
+    # ---- 1. device-resident inputs, uploaded once --------------------------
+    ids_dev = jnp.asarray(ids_all)
+    mask_dev = jnp.asarray(mask_all)
+    if mesh is not None:
+        from candidate_reranking_cir_tpu.parallel.mesh import replicated
 
-    # ---- 2. pair lists per candidate --------------------------------------
+        rep = replicated(mesh)
+        ids_dev = jax.device_put(ids_dev, rep)
+        mask_dev = jax.device_put(mask_dev, rep)
+        index_feats = jax.device_put(index_feats, rep)
+        s1_params = jax.device_put(s1_params, rep)
+        s2_params = jax.device_put(s2_params, rep)
+
+    # ---- 2. produce z_t for every query in ONE scan program ---------------
+    produce_all_zt, bucket_scan = make_cand_major_fns(stage1, reranker)
+    n_zt = (n + zt_batch - 1) // zt_batch
+    zt_rows = np.zeros((n_zt, zt_batch), np.int32)
+    for i in range(n_zt):
+        rows = np.arange(i * zt_batch, min((i + 1) * zt_batch, n))
+        zt_rows[i, :len(rows)] = rows  # tail padding repeats row 0
+
+    zt_all = produce_all_zt(s1_params, index_feats, ids_dev, mask_dev,
+                            jnp.asarray(ref_idx), jnp.asarray(zt_rows))[:n]
+
+    # ---- 3. pair lists per candidate --------------------------------------
     # entry: (query_row, kind, col); kind 0 = top-K slot, kind 1 = group slot
     per_cand: dict[int, list[tuple[int, int, int]]] = {}
     for qi in range(n):
@@ -239,57 +328,75 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
             for j in range(grp_idx.shape[1]):
                 per_cand.setdefault(int(grp_idx[qi, j]), []).append((qi, 1, j))
 
-    # ---- 3. bucket each candidate's pairs into fixed-size chunks ----------
+    # ---- 4. bucket each candidate's pairs into fixed-size chunks ----------
+    # greedy decomposition largest-bucket-first so padding waste per
+    # candidate is bounded by the smallest bucket (e.g. 100 pairs with
+    # buckets (8,32,128) -> 32+32+32+8, 4 padded rows — NOT one 128-chunk
+    # with 28 padded rows)
     buckets = sorted(q_buckets)
     chunks_by_b: dict[int, list[tuple[int, list]]] = {b: [] for b in buckets}
     for cid, entries in per_cand.items():
-        step = buckets[-1]
-        for s in range(0, len(entries), step):
-            part = entries[s:s + step]
-            b = next(bb for bb in buckets if bb >= len(part))
-            chunks_by_b[b].append((cid, part))
+        s = 0
+        remaining = len(entries)
+        for b in reversed(buckets):
+            while remaining >= b:
+                chunks_by_b[b].append((cid, entries[s:s + b]))
+                s += b
+                remaining -= b
+        if remaining:
+            b = next(bb for bb in buckets if bb >= remaining)
+            chunks_by_b[b].append((cid, entries[s:]))
 
     logits = np.full((n, k), SKIP_LOGIT, np.float32)
     grp_logits = np.zeros((n, 5), np.float32) if do_groups else None
 
-    # ---- 4. batched candidate-major calls, dispatch all then fetch --------
-    pending = []
-    zrow_buf: dict[int, np.ndarray] = {}
+    # ---- 5. ONE scan program per bucket ------------------------------------
+    # every bucket's calls run inside a single jitted lax.scan over
+    # (rows [n_calls, A, B], cands [n_calls, A]); z_t/ids/mask/features are
+    # gathered on device per call — one dispatch + one D2H fetch per bucket
     for b in buckets:
         chunks = chunks_by_b[b]
         if not chunks:
             continue
         a = max(1, pairs_per_call // b)
-        for s in range(0, len(chunks), a):
-            batch = chunks[s:s + a]
-            while len(batch) < a:  # pad the call's candidate axis
-                batch.append((batch[0][0], []))
-            cand_ids = np.asarray([c for c, _ in batch], np.int32)
-            rows = np.zeros((a, b), np.int32)
-            valid = np.zeros((a, b), bool)
-            qrow = np.zeros((a, b), np.int32)
-            kind = np.zeros((a, b), np.int32)
-            col = np.zeros((a, b), np.int32)
-            for ai, (_, entries) in enumerate(batch):
-                for bi, (qi, kd, cl) in enumerate(entries):
-                    rows[ai, bi] = qi
-                    valid[ai, bi] = True
-                    qrow[ai, bi], kind[ai, bi], col[ai, bi] = qi, kd, cl
-            z_t = jnp.take(zt_all, jnp.asarray(rows.ravel()),
-                           axis=0).reshape(a, b, *zt_all.shape[1:])
-            ids = jnp.asarray(ids_all[rows])
-            msk = jnp.asarray(mask_all[rows])
-            cand = jnp.take(index_feats, jnp.asarray(cand_ids), axis=0)
-            scores = score_grid(s2_params, z_t, ids, msk, cand)
-            pending.append((scores, valid, qrow, kind, col))
+        a = ((a + n_dev - 1) // n_dev) * n_dev  # shardable candidate axis
+        n_calls = (len(chunks) + a - 1) // a
+        chunks = chunks + [(chunks[0][0], [])] * (n_calls * a - len(chunks))
 
-    for scores, valid, qrow, kind, col in pending:
-        sc = np.asarray(scores, np.float32)
+        rows = np.zeros((n_calls, a, b), np.int32)
+        valid = np.zeros((n_calls, a, b), bool)
+        qrow = np.zeros((n_calls, a, b), np.int32)
+        kind = np.zeros((n_calls, a, b), np.int32)
+        col = np.zeros((n_calls, a, b), np.int32)
+        cands = np.zeros((n_calls, a), np.int32)
+        for idx, (cid, entries) in enumerate(chunks):
+            ci, ai = divmod(idx, a)
+            cands[ci, ai] = cid
+            for bi, (qi, kd, cl) in enumerate(entries):
+                rows[ci, ai, bi] = qi
+                valid[ci, ai, bi] = True
+                qrow[ci, ai, bi], kind[ci, ai, bi], col[ci, ai, bi] = \
+                    qi, kd, cl
+
+        rows_dev = jnp.asarray(rows)
+        cands_dev = jnp.asarray(cands)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard_a = NamedSharding(mesh, P(None, "data"))
+            rows_dev = jax.device_put(rows_dev,
+                                      NamedSharding(mesh, P(None, "data",
+                                                            None)))
+            cands_dev = jax.device_put(cands_dev, shard_a)
+        scores = np.asarray(
+            bucket_scan(s2_params, zt_all, ids_dev, mask_dev, index_feats,
+                        rows_dev, cands_dev), np.float32)
+
         tk = valid & (kind == 0)
-        logits[qrow[tk], col[tk]] = sc[tk]
+        logits[qrow[tk], col[tk]] = scores[tk]
         if do_groups:
             gp = valid & (kind == 1)
-            grp_logits[qrow[gp], col[gp]] = sc[gp]
+            grp_logits[qrow[gp], col[gp]] = scores[gp]
 
     rank_order = np.argsort(-logits, axis=-1, kind="stable")
     group_order = (np.argsort(-grp_logits, axis=-1, kind="stable")

@@ -50,8 +50,18 @@ def make_stage1_fns(model: RetrievalModel, params):
 
 def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
                     index_feats, index_names, text_len: int,
-                    q_batch: int = 32) -> np.ndarray:
-    """Fused query features [N_q, E] via index-feature reuse."""
+                    q_batch: int = 32, mesh=None) -> np.ndarray:
+    """Fused query features [N_q, E] via index-feature reuse.
+
+    mesh: optional jax Mesh — each fixed-size query batch is sharded over the
+    data axis so fusion runs SPMD across the chips (q_batch must divide).
+    """
+    from candidate_reranking_cir_tpu.parallel.mesh import (
+        batch_sharding,
+        fit_mesh,
+    )
+
+    mesh = fit_mesh(mesh, q_batch)
     pos = {n: i for i, n in enumerate(index_names)}
     ref_idx = np.asarray([pos[r] for r in ref_names], np.int32)
     ids_all, mask_all = tokenizer.encode(captions, text_len,
@@ -70,25 +80,58 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
             return np.concatenate([x[sl], np.repeat(x[sl][:1], pad, axis=0)])
 
         refs = jnp.take(index_feats, jnp.asarray(padded(ref_idx)), axis=0)
-        pred = fuse_fn(refs, jnp.asarray(padded(ids_all)),
-                       jnp.asarray(padded(mask_all)))
+        ids = jnp.asarray(padded(ids_all))
+        msk = jnp.asarray(padded(mask_all))
+        if mesh is not None:
+            refs = jax.device_put(refs, batch_sharding(mesh, refs.ndim))
+            ids = jax.device_put(ids, batch_sharding(mesh, 2))
+            msk = jax.device_put(msk, batch_sharding(mesh, 2))
+        pred = fuse_fn(refs, ids, msk)
         preds.append(np.asarray(pred[:count], np.float32))
     return np.concatenate(preds) if preds else out
 
 
-def full_ranking(pred: np.ndarray, pooled_index) -> np.ndarray:
-    """Ascending-distance stable argsort over the whole corpus, on device."""
-    distances = 1.0 - jnp.einsum(
-        "qe,ne->qn", jnp.asarray(pred), pooled_index.astype(jnp.float32))
-    return np.asarray(jnp.argsort(distances, axis=-1, stable=True))
+def full_ranking(pred: np.ndarray, pooled_index, mesh=None) -> np.ndarray:
+    """Ascending-distance stable argsort over the whole corpus, on device.
+
+    mesh: optional jax Mesh — the ranking is embarrassingly parallel over
+    queries, so the query axis is sharded over the data axis and each chip
+    argsorts its slice against the (replicated) pooled index.
+    """
+    pred = jnp.asarray(pred)
+    if mesh is None:
+        distances = 1.0 - jnp.einsum(
+            "qe,ne->qn", pred, pooled_index.astype(jnp.float32))
+        return np.asarray(jnp.argsort(distances, axis=-1, stable=True))
+
+    from candidate_reranking_cir_tpu.parallel.mesh import (
+        batch_sharding,
+        replicated,
+    )
+
+    n_dev = mesh.devices.size
+    n = pred.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        pred = jnp.concatenate([pred, jnp.zeros((pad, pred.shape[1]),
+                                                pred.dtype)])
+    pred = jax.device_put(pred, batch_sharding(mesh, 2))
+    index = jax.device_put(pooled_index.astype(jnp.float32), replicated(mesh))
+
+    @jax.jit
+    def rank(p, idx):
+        return jnp.argsort(1.0 - jnp.einsum("qe,ne->qn", p, idx),
+                           axis=-1, stable=True)
+
+    return np.asarray(rank(pred, index))[:n]
 
 
 def evaluate_cirr_stage1(model, params, dataset_classic, dataset_relative,
                          tokenizer, *, text_len: int, batch_size: int = 32,
-                         save_topk_k: int | None = None) -> tuple:
+                         save_topk_k: int | None = None, mesh=None) -> tuple:
     embed, fuse = make_stage1_fns(model, params)
     raw, pooled, index_names = build_index(dataset_classic, embed,
-                                           batch_size, pooled=True)
+                                           batch_size, pooled=True, mesh=mesh)
 
     captions, refs, targets, groups = [], [], [], []
     for i in range(len(dataset_relative)):
@@ -99,8 +142,8 @@ def evaluate_cirr_stage1(model, params, dataset_classic, dataset_relative,
         groups.append(s["group_members"])
 
     pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
-                           text_len, batch_size)
-    sorted_idx = full_ranking(pred, pooled)
+                           text_len, batch_size, mesh=mesh)
+    sorted_idx = full_ranking(pred, pooled, mesh=mesh)
     names_sorted = M.rank_names(sorted_idx, index_names)
     ranking = M.cirr_ranking(names_sorted, refs, targets, groups)
     mets = M.cirr_metrics(ranking)
@@ -115,10 +158,11 @@ def evaluate_cirr_stage1(model, params, dataset_classic, dataset_relative,
 def evaluate_fiq_stage1(model, params, dataset_classic, dataset_relative,
                         tokenizer, *, text_len: int, batch_size: int = 32,
                         save_topk_k: int | None = None,
-                        dress_types: list[str] | None = None) -> tuple:
+                        dress_types: list[str] | None = None,
+                        mesh=None) -> tuple:
     embed, fuse = make_stage1_fns(model, params)
     raw, pooled, index_names = build_index(dataset_classic, embed,
-                                           batch_size, pooled=True)
+                                           batch_size, pooled=True, mesh=mesh)
 
     captions_pairs, refs, targets = [], [], []
     for i in range(len(dataset_relative)):
@@ -129,8 +173,8 @@ def evaluate_fiq_stage1(model, params, dataset_classic, dataset_relative,
     captions = compose_fiq_eval(captions_pairs)
 
     pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
-                           text_len, batch_size)
-    sorted_idx = full_ranking(pred, pooled)
+                           text_len, batch_size, mesh=mesh)
+    sorted_idx = full_ranking(pred, pooled, mesh=mesh)
     names_sorted = M.rank_names(sorted_idx, index_names)
     ranking = M.fiq_ranking(names_sorted, targets)
     mets = M.fiq_metrics(ranking)

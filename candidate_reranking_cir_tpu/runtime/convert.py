@@ -603,6 +603,19 @@ def convert_stage1(sd: dict, cfg) -> dict:
     return {"params": params}
 
 
+def convert_base(sd: dict, cfg) -> dict:
+    """Flat torch BLIP_Base state dict (blip.py:23-44: visual_encoder + MED
+    text_encoder, no projection heads) -> BlipBase params."""
+    params = {
+        "visual_encoder": convert_vit(
+            sd, "visual_encoder", cfg.vit.num_layers, cfg.vit.num_heads,
+            cfg.vit.num_patches),
+        "text_encoder": convert_med(
+            sd, "text_encoder", cfg.text.num_layers, cfg.text.num_heads),
+    }
+    return {"params": params}
+
+
 def convert_stage2(sd: dict, cfg) -> dict:
     """Flat torch BLIP_NLVR state dict -> RerankerModel params."""
     params = {

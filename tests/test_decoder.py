@@ -109,3 +109,50 @@ def test_beam_caption_structure():
         hits = np.where(row == 3)[0]
         if len(hits):
             assert (row[hits[0] + 1:] == 0).all()
+
+
+def test_cached_greedy_matches_recompute():
+    """KV-cache decode == full-prefix recompute decode, token-for-token."""
+    from candidate_reranking_cir_tpu.models.blip_decoder import (
+        greedy_caption_cached,
+    )
+
+    model = CaptionDecoder(CFG)
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.normal(size=(3, 16, 16, 3)), jnp.float32)
+    ids = jnp.ones((3, 8), jnp.int32)
+    mask = jnp.ones((3, 8), jnp.int32)
+    params = model.init(jax.random.key(5), images, ids, mask)
+    feats = model.apply(params, images,
+                        method=lambda m, im: m.visual_encoder(im))
+
+    ref = np.asarray(greedy_caption(model, params, feats, bos_id=2, eos_id=3,
+                                    pad_id=0, max_len=7))
+    out = np.asarray(greedy_caption_cached(model, params, feats, bos_id=2,
+                                           eos_id=3, pad_id=0, max_len=7))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_cached_beam_matches_recompute():
+    from candidate_reranking_cir_tpu.models.blip_decoder import (
+        beam_caption,
+        beam_caption_cached,
+    )
+
+    model = CaptionDecoder(CFG)
+    rng = np.random.default_rng(6)
+    images = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.key(7), images, ids, mask)
+    feats = model.apply(params, images,
+                        method=lambda m, im: m.visual_encoder(im))
+
+    for nb in (1, 3):
+        ref = np.asarray(beam_caption(model, params, feats, bos_id=2,
+                                      eos_id=3, pad_id=0, max_len=7,
+                                      num_beams=nb))
+        out = np.asarray(beam_caption_cached(model, params, feats, bos_id=2,
+                                             eos_id=3, pad_id=0, max_len=7,
+                                             num_beams=nb))
+        np.testing.assert_array_equal(out, ref)

@@ -239,3 +239,46 @@ def test_stage2_rerank_end_to_end(cirr_root, models, tokenizer, tmp_path):
     np.testing.assert_allclose(out_cm.group_logits, out.group_logits,
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(out_cm.order, out.order)
+
+
+def test_mesh_eval_matches_single_device(cirr_root, models, tokenizer,
+                                         tmp_path):
+    """Engine-level multi-chip wiring: stage-I and stage-II evaluation on the
+    8-device mesh produce metrics identical to the single-device run."""
+    from candidate_reranking_cir_tpu.parallel.mesh import make_mesh
+    from candidate_reranking_cir_tpu.retrieval.validate2_engine import (
+        evaluate_cirr_stage2,
+    )
+
+    s1, s1_params, s2, s2_params = models
+    transform = make_transform("targetpad", IMG, 1.25)
+    classic = CIRRDataset(cirr_root, "val", "classic", transform)
+    relative = CIRRDataset(cirr_root, "val", "relative", transform)
+    mesh = make_mesh()
+
+    res_1dev, payload = evaluate_cirr_stage1(
+        s1, s1_params, classic, relative, tokenizer, text_len=10,
+        batch_size=4, save_topk_k=8)
+    res_mesh, payload_m = evaluate_cirr_stage1(
+        s1, s1_params, classic, relative, tokenizer, text_len=10,
+        batch_size=8, save_topk_k=8, mesh=mesh)
+    assert res_mesh.metrics == res_1dev.metrics
+    np.testing.assert_array_equal(payload_m["labels"], payload["labels"])
+    np.testing.assert_array_equal(payload_m["sorted_index_names"],
+                                  payload["sorted_index_names"])
+
+    topk_path = tmp_path / "topk_mesh.npz"
+    payload["split"] = "val"
+    save_topk_file(topk_path, payload)
+
+    common = dict(data_root=cirr_root, transform=transform,
+                  top_k_path=topk_path, k=4, text_len=10, batch_size=4)
+    mets_1dev = evaluate_cirr_stage2(
+        s1, s1_params, s2, s2_params, tokenizer,
+        schedule="query_major", q_batch=4, **common)
+    mets_mesh = evaluate_cirr_stage2(
+        s1, s1_params, s2, s2_params, tokenizer, mesh=mesh,
+        schedule="candidate_major", batch_size=8,
+        **{k: v for k, v in common.items() if k != "batch_size"})
+    for key, val in mets_1dev.items():
+        assert abs(mets_mesh[key] - val) < 1e-9, (key, mets_mesh[key], val)

@@ -42,19 +42,21 @@ def rtt_measure():
     return (time.perf_counter() - t0) / 5
 
 
-def bench_chain(fn, args, rtt, warmup=2):
+def bench_chain(fn, params, args, rtt, warmup=2):
+    # params must be an explicit jit arg — a closure would bake them into the
+    # HLO as constants and blow the remote-compile request size limit
     @jax.jit
-    def chain(*a):
+    def chain(params, *a):
         def body(carry, _):
-            out = fn(*a, carry)
+            out = fn(params, *a, carry)
             return jnp.mean(out) * 1e-9, None
         carry, _ = jax.lax.scan(body, jnp.zeros(()), None, length=ITERS)
         return carry
 
     for _ in range(warmup):
-        float(chain(*args))
+        float(chain(params, *args))
     t0 = time.perf_counter()
-    float(chain(*args))
+    float(chain(params, *args))
     return max(time.perf_counter() - t0 - rtt, 1e-9) / ITERS
 
 
@@ -86,11 +88,11 @@ def main():
     for A, B in ((4, 128), (16, 32), (2, 256)):
         z, ids, msk, cand = grid_inputs(A, B)
 
-        def fn(z, ids, msk, cand, carry):
-            return model.apply(params, z + carry, ids, msk, cand,
+        def fn(p, z, ids, msk, cand, carry):
+            return model.apply(p, z + carry, ids, msk, cand,
                                method=RerankerModel.score_grid)
 
-        dt = bench_chain(fn, (z, ids, msk, cand), rtt)
+        dt = bench_chain(fn, params, (z, ids, msk, cand), rtt)
         print(f"grid A={A} B={B}: {dt*1e3:.1f} ms/call "
               f"= {A*B/dt:,.0f} triplets/s", flush=True)
 
@@ -100,11 +102,11 @@ def main():
     A, B = 4, 128
     z, ids, msk, cand = grid_inputs(A, B)
 
-    def fn_f(z, ids, msk, cand, carry):
-        return fused_model.apply(params, z + carry, ids, msk, cand,
+    def fn_f(p, z, ids, msk, cand, carry):
+        return fused_model.apply(p, z + carry, ids, msk, cand,
                                  method=RerankerModel.score_grid)
 
-    dt = bench_chain(fn_f, (z, ids, msk, cand), rtt)
+    dt = bench_chain(fn_f, params, (z, ids, msk, cand), rtt)
     print(f"grid+fused A={A} B={B}: {dt*1e3:.1f} ms/call "
           f"= {A*B/dt:,.0f} triplets/s", flush=True)
 
