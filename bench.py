@@ -168,7 +168,8 @@ def bench_stage2_train(rtt, iters=4):
     b = 16  # reference stage-II config (Instructions_CIRR.md:66-77)
     s1_cfg = RetrievalModelConfig()
     s2_cfg = RerankerModelConfig(
-        vit=vit_config("base", 384, drop_path_rate=0.1, remat=True),
+        vit=vit_config("base", 384, drop_path_rate=0.1, remat=True,
+                       fused_attention=True),
         text=TextEncoderConfig(remat=True))
     s1 = RetrievalModel(s1_cfg, dtype=jnp.bfloat16)
     s2 = RerankerModel(s2_cfg, dtype=jnp.bfloat16)
@@ -223,8 +224,9 @@ def bench_stage1_train(rtt, iters=2):
     )
 
     b = 512  # reference stage-I config (Instructions_CIRR.md:18-26)
-    cfg = RetrievalModelConfig(vit=vit_config("base", 384, remat=True),
-                               text=TextEncoderConfig(remat=True))
+    cfg = RetrievalModelConfig(
+        vit=vit_config("base", 384, remat=True, fused_attention=True),
+        text=TextEncoderConfig(remat=True))
     model = RetrievalModel(cfg, dtype=jnp.bfloat16)
     L = cfg.text_len
     im = cfg.vit.image_size

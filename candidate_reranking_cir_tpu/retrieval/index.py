@@ -20,7 +20,24 @@ import numpy as np
 
 
 def iter_batches(dataset, batch_size: int) -> Iterable[tuple[list[str], np.ndarray]]:
-    """Yield (names, [B, H, W, 3] float32) batches from a 'classic' dataset."""
+    """Yield (names, [B, H, W, 3] float32) batches from a 'classic' dataset.
+
+    Fast path: when the dataset's transform exposes ``batch_from_paths``
+    (the native C++ pipeline's thread-pool batch decode,
+    data/native_pipe.py) and errors raise (the default policy), whole
+    batches decode+preprocess in ONE GIL-free native call.
+    """
+    batch_fn = getattr(getattr(dataset, "transform", None),
+                       "batch_from_paths", None)
+    if (batch_fn is not None and getattr(dataset, "mode", "") == "classic"
+            and not getattr(dataset, "skip_errors", False)):
+        all_names = dataset.index_names
+        for start in range(0, len(all_names), batch_size):
+            chunk = all_names[start:start + batch_size]
+            paths = [dataset.image_path(nm) for nm in chunk]
+            yield chunk, batch_fn(paths)
+        return
+
     names, images = [], []
     for i in range(len(dataset)):
         sample = dataset[i]

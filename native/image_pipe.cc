@@ -21,6 +21,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <atomic>
+#include <thread>
 #include <vector>
 
 #include <jpeglib.h>
@@ -263,6 +265,38 @@ int ip_process_rgb(const uint8_t* rgb, int w, int h, int dim,
                    double target_ratio, int square_pad, float* out) {
   std::vector<uint8_t> buf(rgb, rgb + static_cast<size_t>(w) * h * 3);
   return process(buf, w, h, dim, target_ratio, square_pad, out) ? 0 : 3;
+}
+
+// Decode + preprocess a BATCH of JPEG buffers with a native thread pool —
+// GIL-free parallelism for the data-loader hot path (one ctypes call per
+// batch instead of one per image). out: [n, dim, dim, 3] float32;
+// rcs: per-image return codes (0 = ok). Returns the number of failures.
+int ip_process_jpeg_batch(const uint8_t** datas, const int64_t* lens,
+                          int32_t n, int dim, double target_ratio,
+                          int square_pad, int32_t num_threads, float* out,
+                          int32_t* rcs) {
+  if (num_threads <= 0) {
+    num_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 4;
+  }
+  if (num_threads > n) num_threads = n;
+  std::atomic<int32_t> next(0);
+  const size_t stride = static_cast<size_t>(dim) * dim * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      rcs[i] = ip_process_jpeg(datas[i], lens[i], dim, target_ratio,
+                               square_pad, out + stride * i);
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int32_t t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  int32_t failures = 0;
+  for (int32_t i = 0; i < n; ++i) failures += rcs[i] != 0;
+  return failures;
 }
 
 }  // extern "C"
