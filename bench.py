@@ -169,8 +169,8 @@ def bench_stage2_train(rtt, iters=4):
     s1_cfg = RetrievalModelConfig()
     s2_cfg = RerankerModelConfig(
         vit=vit_config("base", 384, drop_path_rate=0.1, remat=True,
-                       fused_attention=True),
-        text=TextEncoderConfig(remat=True))
+                       remat_policy="dots", fused_attention=True),
+        text=TextEncoderConfig(remat=True, remat_policy="dots"))
     s1 = RetrievalModel(s1_cfg, dtype=jnp.bfloat16)
     s2 = RerankerModel(s2_cfg, dtype=jnp.bfloat16)
     L = s2_cfg.text_len
@@ -224,6 +224,8 @@ def bench_stage1_train(rtt, iters=2):
     )
 
     b = 512  # reference stage-I config (Instructions_CIRR.md:18-26)
+    # no 'dots' policy here: at bs=512 the saved cross-attn K/V projections
+    # (~11 GB) blow HBM — stage I stays full-recompute remat
     cfg = RetrievalModelConfig(
         vit=vit_config("base", 384, remat=True, fused_attention=True),
         text=TextEncoderConfig(remat=True))

@@ -51,6 +51,9 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--schedule", type=str, default="candidate_major",
                         choices=["candidate_major", "query_major"])
+    parser.add_argument("--shard-index", action="store_true",
+                        help="shard the corpus feature bank over the mesh "
+                             "(candidate-major schedule only)")
     args = parser.parse_args(argv)
     assert args.dataset.lower() == "cirr"
 
@@ -72,8 +75,10 @@ def main(argv=None):
                               method=RerankerModel.embed_images)
 
     mesh = get_mesh(args)
+    shard_index = args.shard_index and mesh is not None
     raw, _, index_names = build_index(classic, embed, args.batch_size,
-                                      pooled=False, mesh=mesh)
+                                      pooled=False, mesh=mesh,
+                                      shard_index=shard_index)
 
     samples = [relative[i] for i in range(len(relative))]
     pair_ids = [s["pair_id"] for s in samples]
@@ -87,7 +92,7 @@ def main(argv=None):
             stage1, s1_params, reranker, s2_params, tokenizer,
             captions=captions, reference_names=refs, topk_names=topk_names,
             index_feats=raw, index_names=index_names, text_len=args.text_len,
-            group_members=groups, mesh=mesh)
+            group_members=groups, mesh=mesh, index_sharded=shard_index)
     else:
         out = rerank(stage1, s1_params, reranker, s2_params, tokenizer,
                      captions=captions, reference_names=refs,

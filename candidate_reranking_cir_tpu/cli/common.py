@@ -92,6 +92,8 @@ def build_stage1(args, *, remat: bool = False):
     from candidate_reranking_cir_tpu.config import ViTConfig
 
     fused = _fused(args)
+    # stage-I trains at bs=512: saving matmul outputs ('dots') would keep
+    # ~11 GB of cross-attn K/V projections alive — full recompute only
     vit = (ViTConfig(**{"remat": remat, "fused_attention": fused,
                         **ov["vit"]}) if "vit" in ov
            else vit_config(args.vit, args.image_size, remat=remat,
@@ -109,11 +111,17 @@ def build_stage2(args, *, remat: bool = False):
     from candidate_reranking_cir_tpu.config import ViTConfig
 
     fused = _fused(args)
-    vit = (ViTConfig(**{"remat": remat, "fused_attention": fused,
+    # 'dots' saves matmul outputs and recomputes only attention/elementwise
+    # in backward — measured +6% stage-II train step, fits HBM at B=16
+    policy = "dots" if remat else ""
+    vit = (ViTConfig(**{"remat": remat, "remat_policy": policy,
+                        "fused_attention": fused,
                         **ov["vit"]}) if "vit" in ov
            else vit_config(args.vit, args.image_size, drop_path_rate=0.1,
-                           remat=remat, fused_attention=fused))
-    text = TextEncoderConfig(**{"remat": remat, **ov.get("text", {})})
+                           remat=remat, remat_policy=policy,
+                           fused_attention=fused))
+    text = TextEncoderConfig(**{"remat": remat, "remat_policy": policy,
+                                **ov.get("text", {})})
     cfg = RerankerModelConfig(vit=vit, text=text, text_len=args.text_len)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     return RerankerModel(cfg, dtype=dtype), cfg

@@ -35,6 +35,11 @@ def main(argv=None):
                         help="re-rank scheduling: group pairs by candidate "
                              "(K/V amortized over ~90 queries per corpus "
                              "image) or by query ([Qb, K] chunks)")
+    parser.add_argument("--shard-index", action="store_true",
+                        help="shard the corpus feature bank over the mesh "
+                             "instead of replicating it (for corpora beyond "
+                             "per-chip HBM); needs --mesh auto and the "
+                             "candidate-major schedule")
     args = parser.parse_args(argv)
 
     stage1, s1_cfg = build_stage1(args)
@@ -51,7 +56,8 @@ def main(argv=None):
             data_root=args.data_root, transform=transform,
             top_k_path=args.top_k_path, k=args.k_value,
             text_len=args.text_len, q_batch=args.q_batch, mesh=mesh,
-            schedule=args.schedule)
+            schedule=args.schedule,
+            shard_index=args.shard_index and mesh is not None)
         print_metrics(mets)
         print(f"recall_mean = {mets['mean_r5_rs1']:.2f}")
     elif args.dataset.lower() == "fashioniq":
@@ -60,7 +66,8 @@ def main(argv=None):
             data_root=args.data_root, transform=transform,
             top_k_path=args.top_k_path, k=args.k_value,
             text_len=args.text_len, q_batch=args.q_batch, mesh=mesh,
-            schedule=args.schedule)
+            schedule=args.schedule,
+            shard_index=args.shard_index and mesh is not None)
         print_metrics(mets)
     else:
         raise ValueError("Dataset should be either 'CIRR' or 'fashionIQ'")

@@ -39,6 +39,10 @@ class TextEncoderConfig:
     # dual encoder on one chip: saved attention scores otherwise need ~50 GB,
     # the same blow-up that costs the reference ~70 GB on A100)
     remat: bool = False
+    # checkpoint policy under remat: '' recomputes everything (min memory);
+    # 'dots' saves matmul outputs without batch dims (FFN/projections) and
+    # recomputes only attention/elementwise — faster backward, more memory
+    remat_policy: str = ""
 
     @property
     def head_dim(self) -> int:
@@ -60,6 +64,7 @@ class ViTConfig:
     attention_dropout: float = 0.0
     drop_path_rate: float = 0.0      # stage-II uses 0.1 (reference blip_stage2.py:37)
     remat: bool = False              # activation checkpointing per block
+    remat_policy: str = ""           # '' | 'dots' (see TextEncoderConfig)
     fused_attention: bool = False    # Pallas fused attention kernel
 
     @property

@@ -196,10 +196,15 @@ class DualStreamEncoder(nn.Module):
                 return carry
             layer = DualLayer
             if cfg.remat:
+                from candidate_reranking_cir_tpu.models.layers import (
+                    resolve_remat_policy,
+                )
+
                 # layout / deterministic are static (args 5, 6 counting the
                 # module instance as arg 0)
                 layer = nn.remat(layer, static_argnums=(5, 6),
-                                 prevent_cse=False)
+                                 prevent_cse=False,
+                                 policy=resolve_remat_policy(cfg.remat_policy))
             scanned = nn.scan(
                 layer,
                 variable_axes={"params": 0},

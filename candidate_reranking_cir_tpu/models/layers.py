@@ -17,6 +17,20 @@ from candidate_reranking_cir_tpu.ops.attention import dot_product_attention
 Dtype = jnp.dtype
 
 
+def resolve_remat_policy(name: str):
+    """Map a config remat_policy string to a jax checkpoint policy (None =
+    recompute everything, the minimum-memory default)."""
+    if not name:
+        return None
+    policies = {
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }
+    if name not in policies:
+        raise ValueError(f"unknown remat_policy {name!r}; "
+                         f"expected one of {('',) + tuple(policies)}")
+    return policies[name]
+
+
 class LayerNorm(nn.Module):
     """Float32 LayerNorm that returns in the compute dtype."""
 

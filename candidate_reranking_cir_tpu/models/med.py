@@ -199,10 +199,15 @@ class TextEncoder(nn.Module):
         def make_stack():
             layer = MedLayer
             if cfg.remat:
+                from candidate_reranking_cir_tpu.models.layers import (
+                    resolve_remat_policy,
+                )
+
                 # deterministic / precompute_img_kv are static python bools
                 # (args 5 and 8 counting the module instance as arg 0)
                 layer = nn.remat(layer, static_argnums=(5, 8),
-                                 prevent_cse=False)
+                                 prevent_cse=False,
+                                 policy=resolve_remat_policy(cfg.remat_policy))
             return nn.scan(
                 layer,
                 variable_axes={"params": 0},

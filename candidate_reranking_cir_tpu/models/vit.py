@@ -112,8 +112,13 @@ class VisionTransformer(nn.Module):
 
         block = ViTBlock
         if cfg.remat:
+            from candidate_reranking_cir_tpu.models.layers import (
+                resolve_remat_policy,
+            )
+
             # flax passes the module as arg 0 to the wrapped fn: indices +1
-            block = nn.remat(block, static_argnums=(3,), prevent_cse=False)
+            block = nn.remat(block, static_argnums=(3,), prevent_cse=False,
+                             policy=resolve_remat_policy(cfg.remat_policy))
         stack = nn.scan(
             block,
             variable_axes={"params": 0},

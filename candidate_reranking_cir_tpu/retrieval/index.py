@@ -53,7 +53,8 @@ def iter_batches(dataset, batch_size: int) -> Iterable[tuple[list[str], np.ndarr
 
 
 def build_index(dataset, embed_fn: Callable, batch_size: int = 32, *,
-                pooled: bool = True, feature_dtype=jnp.bfloat16, mesh=None):
+                pooled: bool = True, feature_dtype=jnp.bfloat16, mesh=None,
+                shard_index: bool = False):
     """Embed the whole corpus.
 
     embed_fn: [B, H, W, 3] -> raw [B, M, D] or (raw, pooled[B, E]) jitted fn
@@ -63,8 +64,16 @@ def build_index(dataset, embed_fn: Callable, batch_size: int = 32, *,
     so every chip embeds its slice of the corpus (multi-chip index build;
     batch_size must divide by the mesh size).
 
+    shard_index=True (requires mesh): instead of replicating the finished
+    feature bank on every chip, the corpus axis is padded to a multiple of
+    the mesh size and SHARDED over it — each chip holds N/n_dev rows. This
+    is the production layout for corpora that don't fit per-chip HBM
+    (SURVEY.md section 5's corpus-sharded plan); consumed by
+    rerank_candidate_major(index_sharded=True), which schedules each
+    candidate's pairs onto the chip that owns its features.
+
     Returns (raw [N, M, D] feature_dtype on device, pooled [N, E] fp32 or None,
-    names list).
+    names list). With shard_index the raw bank's leading dim is padded.
     """
     from candidate_reranking_cir_tpu.parallel.mesh import (
         batch_sharding,
@@ -90,9 +99,25 @@ def build_index(dataset, embed_fn: Callable, batch_size: int = 32, *,
         raw_chunks.append(np.asarray(raw[:valid].astype(feature_dtype)))
         names_all.extend(names)
 
-    raw_all = jnp.asarray(np.concatenate(raw_chunks))
+    raw_np = np.concatenate(raw_chunks)
     pooled_all = (jnp.asarray(np.concatenate(pooled_chunks))
                   if pooled else None)
+    if mesh is not None and shard_index:
+        from candidate_reranking_cir_tpu.parallel.mesh import (
+            batch_sharding,
+            replicated,
+        )
+
+        n_dev = mesh.devices.size
+        pad = (-len(raw_np)) % n_dev
+        if pad:
+            raw_np = np.concatenate(
+                [raw_np, np.zeros((pad, *raw_np.shape[1:]), raw_np.dtype)])
+        raw_all = jax.device_put(raw_np, batch_sharding(mesh, raw_np.ndim))
+        if pooled_all is not None:
+            pooled_all = jax.device_put(pooled_all, replicated(mesh))
+        return raw_all, pooled_all, names_all
+    raw_all = jnp.asarray(raw_np)
     if mesh is not None:
         # replicate the feature bank so downstream sharded programs read
         # their gathers locally instead of pulling from one chip

@@ -236,6 +236,73 @@ def make_cand_major_fns(stage1: RetrievalModel, reranker: RerankerModel):
     return _FN_CACHE[key]
 
 
+def make_cand_major_sharded_fns(stage1: RetrievalModel,
+                                reranker: RerankerModel, mesh):
+    """shard_map variants of the candidate-major programs for a CORPUS-SHARDED
+    feature bank (index_feats [N_pad, M, W] with the corpus axis split over
+    the mesh — the production layout when the bank exceeds per-chip HBM,
+    SURVEY.md section 5). Each chip scores only the candidates whose features
+    it owns; reference-image rows for z_t are fetched with a masked local
+    take + psum (a distributed gather over ICI)."""
+    key = ("cand_major_sharded", id(stage1), id(reranker), id(mesh))
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    from jax.sharding import PartitionSpec as P
+
+    def zt_body(s1_params, feats_shard, ids, mask, ref_rows, row_chunks):
+        shard_size = feats_shard.shape[0]
+        dev = jax.lax.axis_index("data")
+
+        def gather_global(rows_global):
+            local = rows_global - dev * shard_size
+            ok = (local >= 0) & (local < shard_size)
+            rows = jnp.take(feats_shard,
+                            jnp.clip(local, 0, shard_size - 1), axis=0)
+            rows = jnp.where(ok[:, None, None], rows, 0)
+            return jax.lax.psum(rows, "data")
+
+        def body(carry, rows):
+            refs = gather_global(jnp.take(ref_rows, rows))
+            z = stage1.apply(s1_params, refs, jnp.take(ids, rows, axis=0),
+                             jnp.take(mask, rows, axis=0), return_raw=True,
+                             method=RetrievalModel.fuse)
+            return carry, z
+        _, zs = jax.lax.scan(body, 0.0, row_chunks)
+        return zs.reshape(-1, *zs.shape[2:])
+
+    produce_all_zt = jax.jit(jax.shard_map(
+        zt_body, mesh=mesh,
+        in_specs=(P(), P("data"), P(), P(), P(), P()),
+        out_specs=P(), check_vma=False))
+
+    def scan_body(s2_params, zt, ids, mask, feats_shard, rows, cands_local):
+        # this device's slice: rows [n_calls, A/n_dev, B], local candidate ids
+        a, bb = rows.shape[1], rows.shape[2]
+
+        def body(carry, xs):
+            r, c = xs
+            flat = r.reshape(-1)
+            z = jnp.take(zt, flat, axis=0).reshape(a, bb, *zt.shape[1:])
+            i = jnp.take(ids, flat, axis=0).reshape(a, bb, -1)
+            m = jnp.take(mask, flat, axis=0).reshape(a, bb, -1)
+            cf = jnp.take(feats_shard, c, axis=0)
+            s = reranker.apply(s2_params, z, i, m, cf,
+                               method=RerankerModel.score_grid)
+            return carry, s
+
+        _, scores = jax.lax.scan(body, 0.0, (rows, cands_local))
+        return scores
+
+    bucket_scan = jax.jit(jax.shard_map(
+        scan_body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("data"), P(None, "data", None),
+                  P(None, "data")),
+        out_specs=P(None, "data", None), check_vma=False))
+
+    _FN_CACHE[key] = (produce_all_zt, bucket_scan)
+    return _FN_CACHE[key]
+
+
 def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
                            captions: list[str], reference_names: list[str],
                            topk_names: np.ndarray, index_feats,
@@ -244,7 +311,8 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
                            group_members: list[list[str]] | None = None,
                            pairs_per_call: int = 512,
                            q_buckets: tuple[int, ...] = (8, 32, 128),
-                           zt_batch: int = 32, mesh=None) -> RerankOutput:
+                           zt_batch: int = 32, mesh=None,
+                           index_sharded: bool = False) -> RerankOutput:
     """Candidate-major re-rank scheduling: same outputs as ``rerank`` but the
     (query, candidate) pairs are grouped BY CANDIDATE, so each candidate's
     cross-attention K/V projections — the dominant FLOP term the reference
@@ -269,10 +337,20 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
     mesh: optional jax Mesh — the candidate axis A of every call is sharded
     over the data axis (each chip scores its slice of candidates); A is
     rounded up to a multiple of the mesh size.
+
+    index_sharded=True (requires mesh): ``index_feats`` holds the CORPUS-
+    SHARDED bank from build_index(shard_index=True) — leading dim padded to
+    a multiple of the mesh size and split over it. Pairs are scheduled onto
+    the chip that owns each candidate's features (shard-local gathers, no
+    bank replication); z_t reference rows are fetched with a masked
+    local-take + psum distributed gather. The production layout for corpora
+    beyond per-chip HBM (SURVEY.md section 5).
     """
     n = len(captions)
     k = topk_names.shape[1]
     n_dev = 1 if mesh is None else mesh.devices.size
+    if index_sharded and mesh is None:
+        raise ValueError("index_sharded=True requires a mesh")
     if mesh is not None and zt_batch % n_dev != 0:
         zt_batch = ((zt_batch + n_dev - 1) // n_dev) * n_dev
 
@@ -302,12 +380,17 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
         rep = replicated(mesh)
         ids_dev = jax.device_put(ids_dev, rep)
         mask_dev = jax.device_put(mask_dev, rep)
-        index_feats = jax.device_put(index_feats, rep)
+        if not index_sharded:  # sharded banks are already laid out P('data')
+            index_feats = jax.device_put(index_feats, rep)
         s1_params = jax.device_put(s1_params, rep)
         s2_params = jax.device_put(s2_params, rep)
 
     # ---- 2. produce z_t for every query in ONE scan program ---------------
-    produce_all_zt, bucket_scan = make_cand_major_fns(stage1, reranker)
+    if index_sharded:
+        produce_all_zt, bucket_scan = make_cand_major_sharded_fns(
+            stage1, reranker, mesh)
+    else:
+        produce_all_zt, bucket_scan = make_cand_major_fns(stage1, reranker)
     n_zt = (n + zt_batch - 1) // zt_batch
     zt_rows = np.zeros((n_zt, zt_batch), np.int32)
     for i in range(n_zt):
@@ -354,14 +437,33 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
     # every bucket's calls run inside a single jitted lax.scan over
     # (rows [n_calls, A, B], cands [n_calls, A]); z_t/ids/mask/features are
     # gathered on device per call — one dispatch + one D2H fetch per bucket
+    shard_size = index_feats.shape[0] // n_dev if index_sharded else 0
     for b in buckets:
         chunks = chunks_by_b[b]
         if not chunks:
             continue
-        a = max(1, pairs_per_call // b)
-        a = ((a + n_dev - 1) // n_dev) * n_dev  # shardable candidate axis
-        n_calls = (len(chunks) + a - 1) // a
-        chunks = chunks + [(chunks[0][0], [])] * (n_calls * a - len(chunks))
+        if index_sharded:
+            # each chip scores only candidates whose features it owns: the
+            # A axis is laid out as n_dev contiguous owner blocks and cands
+            # holds shard-LOCAL indices
+            a_dev = max(1, pairs_per_call // b // n_dev)
+            a = a_dev * n_dev
+            by_owner: list[list] = [[] for _ in range(n_dev)]
+            for cid, entries in chunks:
+                by_owner[cid // shard_size].append((cid, entries))
+            n_calls = max((len(lst) + a_dev - 1) // a_dev
+                          for lst in by_owner)
+            packed = []
+            for d, lst in enumerate(by_owner):
+                lst = lst + [(d * shard_size, [])] * (n_calls * a_dev
+                                                      - len(lst))
+                packed.append(lst)
+        else:
+            a = max(1, pairs_per_call // b)
+            a = ((a + n_dev - 1) // n_dev) * n_dev  # shardable cand axis
+            n_calls = (len(chunks) + a - 1) // a
+            chunks = chunks + [(chunks[0][0], [])] * (n_calls * a
+                                                      - len(chunks))
 
         rows = np.zeros((n_calls, a, b), np.int32)
         valid = np.zeros((n_calls, a, b), bool)
@@ -369,14 +471,25 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
         kind = np.zeros((n_calls, a, b), np.int32)
         col = np.zeros((n_calls, a, b), np.int32)
         cands = np.zeros((n_calls, a), np.int32)
-        for idx, (cid, entries) in enumerate(chunks):
-            ci, ai = divmod(idx, a)
-            cands[ci, ai] = cid
+
+        def fill(ci, ai, cid, entries):
+            cands[ci, ai] = cid - (ai // a_dev) * shard_size \
+                if index_sharded else cid
             for bi, (qi, kd, cl) in enumerate(entries):
                 rows[ci, ai, bi] = qi
                 valid[ci, ai, bi] = True
                 qrow[ci, ai, bi], kind[ci, ai, bi], col[ci, ai, bi] = \
                     qi, kd, cl
+
+        if index_sharded:
+            for d, lst in enumerate(packed):
+                for idx, (cid, entries) in enumerate(lst):
+                    ci, ai_local = divmod(idx, a_dev)
+                    fill(ci, d * a_dev + ai_local, cid, entries)
+        else:
+            for idx, (cid, entries) in enumerate(chunks):
+                ci, ai = divmod(idx, a)
+                fill(ci, ai, cid, entries)
 
         rows_dev = jnp.asarray(rows)
         cands_dev = jnp.asarray(cands)

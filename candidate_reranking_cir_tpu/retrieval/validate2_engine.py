@@ -26,17 +26,18 @@ from candidate_reranking_cir_tpu.retrieval.rerank import (
 
 
 def _build_stage2_index(reranker, s2_params, classic_ds, batch_size=16,
-                        mesh=None):
+                        mesh=None, shard_index=False):
     @jax.jit
     def embed(images):
         return reranker.apply(s2_params, images,
                               method=RerankerModel.embed_images)
 
-    return build_index(classic_ds, embed, batch_size, pooled=False, mesh=mesh)
+    return build_index(classic_ds, embed, batch_size, pooled=False, mesh=mesh,
+                       shard_index=shard_index)
 
 
 def _run_rerank(schedule, stage1, s1_params, reranker, s2_params, tokenizer,
-                mesh, **kw):
+                mesh, shard_index=False, **kw):
     """Dispatch to the re-rank scheduler.
 
     'candidate_major' (default): pairs grouped by candidate so K/V projections
@@ -47,7 +48,10 @@ def _run_rerank(schedule, stage1, s1_params, reranker, s2_params, tokenizer,
     if schedule == "candidate_major":
         kw.pop("q_batch", None)
         return rerank_candidate_major(stage1, s1_params, reranker, s2_params,
-                                      tokenizer, mesh=mesh, **kw)
+                                      tokenizer, mesh=mesh,
+                                      index_sharded=shard_index, **kw)
+    if shard_index:
+        raise ValueError("shard_index requires schedule='candidate_major'")
     return rerank(stage1, s1_params, reranker, s2_params, tokenizer,
                   mesh=mesh, **kw)
 
@@ -55,13 +59,15 @@ def _run_rerank(schedule, stage1, s1_params, reranker, s2_params, tokenizer,
 def evaluate_cirr_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                          data_root, transform, top_k_path, k, text_len,
                          q_batch: int = 8, batch_size: int = 16, mesh=None,
-                         schedule: str = "candidate_major") -> dict:
+                         schedule: str = "candidate_major",
+                         shard_index: bool = False) -> dict:
     classic = CIRRDataset(data_root, "val", "classic", transform,
                           load_topk=top_k_path, k=k)
     relative = CIRRDataset(data_root, "val", "relative", transform,
                            load_topk=top_k_path, k=k)
     raw, _, index_names = _build_stage2_index(reranker, s2_params, classic,
-                                              batch_size, mesh=mesh)
+                                              batch_size, mesh=mesh,
+                                              shard_index=shard_index)
 
     samples = [relative[i] for i in range(len(relative))]
     captions = [s["caption"] for s in samples]
@@ -77,7 +83,7 @@ def evaluate_cirr_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
 
     skip = ~topk_labels.any(axis=1)  # validate_stage2.py:256-258
     out = _run_rerank(schedule, stage1, s1_params, reranker, s2_params,
-                      tokenizer, mesh,
+                      tokenizer, mesh, shard_index=shard_index,
                       captions=captions, reference_names=refs,
                       topk_names=topk_names, index_feats=raw,
                       index_names=index_names, text_len=text_len,
@@ -104,7 +110,8 @@ def evaluate_fiq_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                         data_root, transform, top_k_path, k, text_len,
                         dress_types=("shirt", "dress", "toptee"),
                         q_batch: int = 8, batch_size: int = 16, mesh=None,
-                        schedule: str = "candidate_major") -> dict:
+                        schedule: str = "candidate_major",
+                        shard_index: bool = False) -> dict:
     """Per-category re-rank eval; top_k_path may contain '{dress}' or the
     reference's 'DTYPE' placeholder, substituted per category (the reference
     stores one file per type, utils.py:195)."""
@@ -118,7 +125,8 @@ def evaluate_fiq_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                                     transform, load_topk=path, k=k)
         raw, _, index_names = _build_stage2_index(reranker, s2_params,
                                                   classic, batch_size,
-                                                  mesh=mesh)
+                                                  mesh=mesh,
+                                                  shard_index=shard_index)
 
         samples = [relative[i] for i in range(len(relative))]
         captions = compose_fiq_eval([s["captions"] for s in samples])
@@ -129,7 +137,7 @@ def evaluate_fiq_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
 
         skip = ~topk_labels.any(axis=1)
         out = _run_rerank(schedule, stage1, s1_params, reranker, s2_params,
-                          tokenizer, mesh,
+                          tokenizer, mesh, shard_index=shard_index,
                           captions=captions, reference_names=refs,
                           topk_names=topk_names, index_feats=raw,
                           index_names=index_names, text_len=text_len,

@@ -282,3 +282,38 @@ def test_mesh_eval_matches_single_device(cirr_root, models, tokenizer,
         **{k: v for k, v in common.items() if k != "batch_size"})
     for key, val in mets_1dev.items():
         assert abs(mets_mesh[key] - val) < 1e-9, (key, mets_mesh[key], val)
+
+
+def test_sharded_index_eval_matches_replicated(cirr_root, models, tokenizer,
+                                               tmp_path):
+    """Corpus-sharded feature bank (build_index shard_index=True +
+    rerank_candidate_major index_sharded=True): identical stage-II metrics to
+    the replicated-bank run — each chip scores only its own candidates and
+    z_t reference rows arrive via the distributed psum gather."""
+    from candidate_reranking_cir_tpu.parallel.mesh import make_mesh
+    from candidate_reranking_cir_tpu.retrieval.validate2_engine import (
+        evaluate_cirr_stage2,
+    )
+
+    s1, s1_params, s2, s2_params = models
+    transform = make_transform("targetpad", IMG, 1.25)
+    classic = CIRRDataset(cirr_root, "val", "classic", transform)
+    relative = CIRRDataset(cirr_root, "val", "relative", transform)
+    mesh = make_mesh()
+
+    _, payload = evaluate_cirr_stage1(
+        s1, s1_params, classic, relative, tokenizer, text_len=10,
+        batch_size=4, save_topk_k=8)
+    topk_path = tmp_path / "topk_shard.npz"
+    payload["split"] = "val"
+    save_topk_file(topk_path, payload)
+
+    common = dict(data_root=cirr_root, transform=transform,
+                  top_k_path=topk_path, k=4, text_len=10, batch_size=8,
+                  mesh=mesh, schedule="candidate_major")
+    mets_rep = evaluate_cirr_stage2(s1, s1_params, s2, s2_params, tokenizer,
+                                    **common)
+    mets_shard = evaluate_cirr_stage2(s1, s1_params, s2, s2_params, tokenizer,
+                                      shard_index=True, **common)
+    for key, val in mets_rep.items():
+        assert abs(mets_shard[key] - val) < 1e-9, (key, mets_shard[key], val)
