@@ -22,10 +22,7 @@ from candidate_reranking_cir_tpu.cli.common import (
 from candidate_reranking_cir_tpu.data.datasets import CIRRDataset
 from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
 from candidate_reranking_cir_tpu.retrieval.index import build_index
-from candidate_reranking_cir_tpu.retrieval.rerank import (
-    rerank,
-    rerank_candidate_major,
-)
+from candidate_reranking_cir_tpu.retrieval.validate2_engine import _run_rerank
 from candidate_reranking_cir_tpu.retrieval.submission import (
     build_submissions,
     write_submissions,
@@ -87,18 +84,12 @@ def main(argv=None):
     groups = [s["group_members"] for s in samples]
     topk_names = np.stack([np.asarray(s["topk_names"]) for s in samples])
 
-    if args.schedule == "candidate_major":
-        out = rerank_candidate_major(
-            stage1, s1_params, reranker, s2_params, tokenizer,
-            captions=captions, reference_names=refs, topk_names=topk_names,
-            index_feats=raw, index_names=index_names, text_len=args.text_len,
-            group_members=groups, mesh=mesh, index_sharded=shard_index)
-    else:
-        out = rerank(stage1, s1_params, reranker, s2_params, tokenizer,
-                     captions=captions, reference_names=refs,
-                     topk_names=topk_names, index_feats=raw,
-                     index_names=index_names, text_len=args.text_len,
-                     q_batch=args.q_batch, group_members=groups, mesh=mesh)
+    out = _run_rerank(args.schedule, stage1, s1_params, reranker, s2_params,
+                      tokenizer, mesh, shard_index=shard_index,
+                      captions=captions, reference_names=refs,
+                      topk_names=topk_names, index_feats=raw,
+                      index_names=index_names, text_len=args.text_len,
+                      q_batch=args.q_batch, group_members=groups)
 
     reranked_names = np.take_along_axis(
         np.asarray(topk_names, dtype=object), out.order, axis=1)

@@ -94,17 +94,16 @@ def _self_cache(decoder: CaptionDecoder, b: int, max_len: int):
     return jnp.zeros(shape, decoder.dtype), jnp.zeros(shape, decoder.dtype)
 
 
-def greedy_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
-                          bos_id: int, eos_id: int, pad_id: int,
-                          max_len: int = 20) -> jnp.ndarray:
-    """KV-cached greedy decode, output-identical to ``greedy_caption``.
+# jitted decode programs memoized per (decoder, decoding constants): a fresh
+# jax.jit per call would recompile the full multi-layer scan every invocation
+_DECODE_CACHE: dict = {}
 
-    The whole decode is ONE jitted ``lax.scan`` over steps: image cross-attn
-    K/V are projected once up front, each step runs a one-token forward and
-    appends its self-attn K/V — O(T) attention instead of O(T^2) full-prefix
-    recompute, and a single device program for the entire caption.
-    """
-    b = image_feats.shape[0]
+
+def _cached_greedy_decode(decoder: CaptionDecoder, b: int, bos_id: int,
+                          eos_id: int, pad_id: int, max_len: int):
+    key = (id(decoder), b, bos_id, eos_id, pad_id, max_len)
+    if key in _DECODE_CACHE:
+        return _DECODE_CACHE[key]
 
     @jax.jit
     def decode(params, image_feats):
@@ -134,6 +133,25 @@ def greedy_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
         (ids, *_), _ = jax.lax.scan(body, carry, jnp.arange(max_len - 1))
         return ids
 
+    if len(_DECODE_CACHE) > 32:  # bound the per-process program cache
+        _DECODE_CACHE.clear()
+    _DECODE_CACHE[key] = decode
+    return decode
+
+
+def greedy_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
+                          bos_id: int, eos_id: int, pad_id: int,
+                          max_len: int = 20) -> jnp.ndarray:
+    """KV-cached greedy decode, output-identical to ``greedy_caption``.
+
+    The whole decode is ONE jitted ``lax.scan`` over steps: image cross-attn
+    K/V are projected once up front, each step runs a one-token forward and
+    appends its self-attn K/V — O(T) attention instead of O(T^2) full-prefix
+    recompute, and a single device program for the entire caption (memoized
+    across calls).
+    """
+    decode = _cached_greedy_decode(decoder, image_feats.shape[0], bos_id,
+                                   eos_id, pad_id, max_len)
     return decode(params, image_feats)
 
 
@@ -150,16 +168,22 @@ def beam_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
     nb = num_beams
     feats = jnp.repeat(image_feats, nb, axis=0)          # [B*nb, M, W]
 
-    @jax.jit
-    def prep(params, feats):
-        return decoder.apply(params, feats, method=CaptionDecoder.precompute_kv)
+    key = (id(decoder), "beam_fns")
+    if key not in _DECODE_CACHE:
+        @jax.jit
+        def prep(params, feats):
+            return decoder.apply(params, feats,
+                                 method=CaptionDecoder.precompute_kv)
 
-    @jax.jit
-    def step_logprobs(params, img_kv, tok, mask, k_self, v_self, t):
-        logits, new_self = decoder.apply(
-            params, tok, mask, (k_self, v_self, *img_kv), t,
-            method=CaptionDecoder.decode_step)
-        return jax.nn.log_softmax(logits, axis=-1), new_self
+        @jax.jit
+        def step_logprobs(params, img_kv, tok, mask, k_self, v_self, t):
+            logits, new_self = decoder.apply(
+                params, tok, mask, (k_self, v_self, *img_kv), t,
+                method=CaptionDecoder.decode_step)
+            return jax.nn.log_softmax(logits, axis=-1), new_self
+
+        _DECODE_CACHE[key] = (prep, step_logprobs)
+    prep, step_logprobs = _DECODE_CACHE[key]
 
     img_kv = prep(params, feats)
     k_self, v_self = _self_cache(decoder, b * nb, max_len)

@@ -26,10 +26,9 @@ def make_mesh_for_batch(batch_size: int, devices=None,
     """Mesh over the largest device count that divides batch_size (a batch
     smaller than the device count cannot shard its leading dim)."""
     devices = devices if devices is not None else jax.devices()
-    n = len(devices)
-    while n > 1 and batch_size % n != 0:
-        n -= 1
-    return Mesh(np.asarray(devices[:n]), (data_axis,))
+    fitted = fit_mesh(make_mesh(devices, data_axis), batch_size, data_axis)
+    return fitted if fitted is not None \
+        else Mesh(np.asarray(devices[:1]), (data_axis,))
 
 
 def fit_mesh(mesh: Mesh | None, batch_size: int,

@@ -41,6 +41,15 @@ class RerankOutput:
 
 
 _FN_CACHE: dict = {}
+_FN_CACHE_MAX = 32  # per-process bound: evaluating many model instances
+                    # (e.g. a checkpoint sweep) must not pin programs forever
+
+
+def _cache_put(key, value):
+    if len(_FN_CACHE) >= _FN_CACHE_MAX:
+        _FN_CACHE.clear()
+    _FN_CACHE[key] = value
+    return value
 
 
 def make_rerank_fns(stage1: RetrievalModel, reranker: RerankerModel):
@@ -69,8 +78,7 @@ def make_rerank_fns(stage1: RetrievalModel, reranker: RerankerModel):
         return reranker.apply(s2_params, z_t, ids, mask, unique_cand,
                               pair_map, method=RerankerModel.score_indexed)
 
-    _FN_CACHE[key] = (produce_zt, score, score_indexed)
-    return _FN_CACHE[key]
+    return _cache_put(key, (produce_zt, score, score_indexed))
 
 
 def cluster_queries(cand_idx: np.ndarray, q_batch: int) -> np.ndarray:
@@ -174,6 +182,16 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
             unique_feats = jnp.take(index_feats, jnp.asarray(pad_uniq),
                                     axis=0)
             pair_map = jnp.asarray(inv.reshape(chunk_cand.shape), jnp.int32)
+            if mesh is not None:
+                # commit to the (possibly fit_mesh-shrunk) eval mesh: the
+                # unique bank is shared across queries -> replicated; the
+                # pair map is per-query -> sharded like ids/z_t
+                from candidate_reranking_cir_tpu.parallel.mesh import (
+                    replicated,
+                )
+
+                unique_feats = jax.device_put(unique_feats, replicated(mesh))
+                (pair_map,) = _shard0(mesh, pair_map)
             out = score_indexed(s2_params, z_t, ids, msk, unique_feats,
                                 pair_map)
         else:
@@ -232,8 +250,7 @@ def make_cand_major_fns(stage1: RetrievalModel, reranker: RerankerModel):
         _, scores = jax.lax.scan(body, 0.0, (rows, cands))
         return scores  # [n_calls, A, B]
 
-    _FN_CACHE[key] = (produce_all_zt, bucket_scan)
-    return _FN_CACHE[key]
+    return _cache_put(key, (produce_all_zt, bucket_scan))
 
 
 def make_cand_major_sharded_fns(stage1: RetrievalModel,
@@ -299,8 +316,7 @@ def make_cand_major_sharded_fns(stage1: RetrievalModel,
                   P(None, "data")),
         out_specs=P(None, "data", None), check_vma=False))
 
-    _FN_CACHE[key] = (produce_all_zt, bucket_scan)
-    return _FN_CACHE[key]
+    return _cache_put(key, (produce_all_zt, bucket_scan))
 
 
 def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,

@@ -317,3 +317,45 @@ def test_sharded_index_eval_matches_replicated(cirr_root, models, tokenizer,
                                       shard_index=True, **common)
     for key, val in mets_rep.items():
         assert abs(mets_shard[key] - val) < 1e-9, (key, mets_shard[key], val)
+
+
+def test_rerank_dedup_with_shrunk_mesh(cirr_root, models, tokenizer,
+                                       tmp_path):
+    """Regression: rerank(dedup=True) on a mesh that fit_mesh shrinks (q_batch
+    not divisible by the device count) must reshard the unique-candidate bank
+    and pair map onto the fitted mesh instead of crashing with incompatible
+    devices."""
+    from candidate_reranking_cir_tpu.parallel.mesh import make_mesh
+
+    s1, s1_params, s2, s2_params = models
+    transform = make_transform("targetpad", IMG, 1.25)
+    classic = CIRRDataset(cirr_root, "val", "classic", transform)
+    relative = CIRRDataset(cirr_root, "val", "relative", transform)
+
+    _, payload = evaluate_cirr_stage1(
+        s1, s1_params, classic, relative, tokenizer, text_len=10,
+        batch_size=4, save_topk_k=4)
+    samples_names = payload["sorted_index_names"]
+
+    @jax.jit
+    def embed(images):
+        return s2.apply(s2_params, images, method=RerankerModel.embed_images)
+
+    mesh = make_mesh()
+    raw, _, index_names = build_index(classic, embed, 8, pooled=False,
+                                      mesh=mesh)
+    captions = [f"the dress {i}" for i in range(N_QUERIES)]
+    refs = [f"im{i}" for i in range(N_QUERIES)]
+
+    out_ref = rerank(s1, s1_params, s2, s2_params, tokenizer,
+                     captions=captions, reference_names=refs,
+                     topk_names=samples_names, index_feats=raw,
+                     index_names=index_names, text_len=10, q_batch=4)
+    # q_batch=4 on 8 devices -> fit_mesh shrinks to 4; dedup branch active
+    out = rerank(s1, s1_params, s2, s2_params, tokenizer,
+                 captions=captions, reference_names=refs,
+                 topk_names=samples_names, index_feats=raw,
+                 index_names=index_names, text_len=10, q_batch=4,
+                 dedup=True, mesh=mesh)
+    np.testing.assert_allclose(out.logits, out_ref.logits, rtol=2e-4,
+                               atol=2e-4)

@@ -18,7 +18,7 @@ from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
 ITERS = 8
 
 
-def make_params(model, init_fn):
+def make_params(model, init_fn):  # kept for history; prefer bench.rand_params
     shapes = jax.eval_shape(init_fn)
     key = jax.random.key(0)
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
