@@ -359,3 +359,52 @@ def test_rerank_dedup_with_shrunk_mesh(cirr_root, models, tokenizer,
                  dedup=True, mesh=mesh)
     np.testing.assert_allclose(out.logits, out_ref.logits, rtol=2e-4,
                                atol=2e-4)
+
+
+def test_candidate_major_fuzz_equals_query_major(models, tokenizer):
+    """Randomized workloads (sizes, skips, group presence, duplicate
+    candidates across queries): candidate-major scheduling must reproduce the
+    query-major logits exactly (up to fp reassociation)."""
+    import jax.numpy as jnp
+
+    from candidate_reranking_cir_tpu.retrieval.rerank import (
+        rerank_candidate_major,
+    )
+
+    s1, s1_params, s2, s2_params = models
+    rng = np.random.default_rng(11)
+    m_tokens = (IMG // 8) ** 2 + 1
+
+    for trial in range(3):
+        n_idx = int(rng.integers(12, 20))
+        n_q = int(rng.integers(3, 9))
+        k = int(rng.integers(2, 6))
+        do_groups = bool(trial % 2)
+        index_names = [f"im{i}" for i in range(n_idx)]
+        feats = jnp.asarray(rng.normal(size=(n_idx, m_tokens, 24)) * 0.1,
+                            jnp.float32)
+        topk = np.empty((n_q, k), object)
+        refs, groups = [], []
+        for q in range(n_q):
+            sel = rng.choice(n_idx, size=k + 6, replace=False)
+            topk[q] = [index_names[i] for i in sel[:k]]
+            refs.append(index_names[sel[k]])
+            groups.append([index_names[i] for i in sel[k:]])
+        skip = rng.random(n_q) < 0.3
+        captions = [f"the red dress {q}" for q in range(n_q)]
+        kw = dict(captions=captions, reference_names=refs, topk_names=topk,
+                  index_feats=feats, index_names=index_names, text_len=10,
+                  skip_mask=skip,
+                  group_members=groups if do_groups else None)
+
+        out_qm = rerank(s1, s1_params, s2, s2_params, tokenizer,
+                        q_batch=4, **kw)
+        out_cm = rerank_candidate_major(
+            s1, s1_params, s2, s2_params, tokenizer,
+            pairs_per_call=8, q_buckets=(2, 4), zt_batch=4, **kw)
+        np.testing.assert_allclose(out_cm.logits, out_qm.logits,
+                                   rtol=3e-4, atol=3e-4)
+        if do_groups:
+            np.testing.assert_allclose(out_cm.group_logits,
+                                       out_qm.group_logits,
+                                       rtol=3e-4, atol=3e-4)

@@ -1,0 +1,70 @@
+"""Full CIRR-val-scale stage-II re-rank through the production scheduler:
+corpus N=2297, queries 4181, K=50 + 5 group members, ~13% skip rate
+(reference val hit-rate ballpark). Reports end-to-end wall-clock for the
+complete evaluation's device work (z_t production + all scoring)."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from candidate_reranking_cir_tpu.config import (
+    RerankerModelConfig,
+    RetrievalModelConfig,
+)
+from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
+from candidate_reranking_cir_tpu.retrieval.rerank import rerank_candidate_major
+from bench import _BenchTokenizer, rand_params
+
+s1_cfg = RetrievalModelConfig()
+s2_cfg = RerankerModelConfig()
+s1 = RetrievalModel(s1_cfg, dtype=jnp.bfloat16)
+s2 = RerankerModel(s2_cfg, dtype=jnp.bfloat16)
+L = s2_cfg.text_len
+M = s2_cfg.vit.num_tokens
+W = s2_cfg.text.encoder_width
+
+n_idx, n_q, k = 2297, 4181, 50
+rng = np.random.default_rng(0)
+index_names = [f"im{i}" for i in range(n_idx)]
+index_feats = jax.random.normal(jax.random.key(9), (n_idx, M, W),
+                                jnp.bfloat16) * 0.05
+
+topk = np.empty((n_q, k), object)
+groups, refs = [], []
+for q in range(n_q):
+    sel = rng.choice(n_idx, size=k + 6, replace=False)
+    topk[q] = [index_names[i] for i in sel[:k]]
+    refs.append(index_names[sel[k]])
+    groups.append([index_names[i] for i in sel[k:]])
+skip = rng.random(n_q) < 0.13  # ~reference val miss rate at K=50
+
+ids = jnp.zeros((2, L), jnp.int32)
+msk = jnp.ones((2, L), jnp.int32)
+z0 = jnp.zeros((2, L, s2_cfg.text.hidden_size), jnp.bfloat16)
+imgs = jnp.zeros((2, s2_cfg.vit.image_size, s2_cfg.vit.image_size, 3))
+s1_params = rand_params(
+    jax.eval_shape(lambda: s1.init(jax.random.key(0), imgs, ids, msk)),
+    jax.random.key(1))
+s2_params = rand_params(
+    jax.eval_shape(lambda: s2.init(jax.random.key(0), imgs, ids, msk, z0)),
+    jax.random.key(2))
+
+tok = _BenchTokenizer()
+kw = dict(captions=[f"caption {q}" for q in range(n_q)],
+          reference_names=refs, topk_names=topk, index_feats=index_feats,
+          index_names=index_names, text_len=L, group_members=groups,
+          skip_mask=skip)
+real_pairs = int((~skip).sum()) * k + n_q * 5
+
+for tag in ("warmup(compile)", "timed"):
+    t0 = time.perf_counter()
+    out = rerank_candidate_major(s1, s1_params, s2, s2_params, tok, **kw)
+    dt = time.perf_counter() - t0
+    print(f"{tag}: {dt:.1f}s for {real_pairs:,} scheduled pairs "
+          f"= {real_pairs/dt:,.0f} triplets/s", flush=True)
+assert (out.logits[skip] < -90000).all()
+assert np.isfinite(out.logits[~skip]).all()
