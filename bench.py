@@ -234,11 +234,14 @@ def bench_stage1_train(rtt, iters=2):
     im = cfg.vit.image_size
 
     rng = np.random.default_rng(0)
+    tgt = rng.normal(size=(b, 256)).astype(np.float32)
+    tgt /= np.linalg.norm(tgt, axis=-1, keepdims=True)
     batch = {
         "ref_images": jnp.asarray(rng.normal(size=(b, im, im, 3)) * 0.3,
                                   jnp.float32),
-        "target_images": jnp.asarray(rng.normal(size=(b, im, im, 3)) * 0.3,
-                                     jnp.float32),
+        # production default (frozen ViT): pooled target features come from
+        # the per-corpus cache, not a second in-step ViT pass
+        "target_pooled": jnp.asarray(tgt),
         "input_ids": jnp.asarray(rng.integers(10, 20000, size=(b, L)),
                                  jnp.int32),
         "attention_mask": jnp.ones((b, L), jnp.int32),

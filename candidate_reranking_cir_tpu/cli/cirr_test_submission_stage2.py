@@ -66,16 +66,17 @@ def main(argv=None):
     relative = CIRRDataset(args.data_root, "test1", "relative", transform,
                            load_topk=args.top_k_path, k=args.k_value)
 
+    # params as a jit argument, not a closure (remote-compile size limit)
     @jax.jit
-    def embed(images):
-        return reranker.apply(s2_params, images,
-                              method=RerankerModel.embed_images)
+    def _embed(p, images):
+        return reranker.apply(p, images, method=RerankerModel.embed_images)
 
     mesh = get_mesh(args)
     shard_index = args.shard_index and mesh is not None
-    raw, _, index_names = build_index(classic, embed, args.batch_size,
-                                      pooled=False, mesh=mesh,
-                                      shard_index=shard_index)
+    raw, _, index_names = build_index(classic,
+                                      lambda im: _embed(s2_params, im),
+                                      args.batch_size, pooled=False,
+                                      mesh=mesh, shard_index=shard_index)
 
     samples = [relative[i] for i in range(len(relative))]
     pair_ids = [s["pair_id"] for s in samples]

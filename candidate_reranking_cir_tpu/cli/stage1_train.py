@@ -70,6 +70,14 @@ def parse_args(argv=None):
                              "fused jit program here")
     parser.add_argument("--blip-img-tune", action="store_true",
                         help="finetune the ViT (default: frozen)")
+    parser.add_argument("--no-cache-target-features", action="store_true",
+                        help="disable the target-feature cache. By default "
+                             "(frozen ViT + deterministic transforms) the "
+                             "pooled 256-d target features are embedded ONCE "
+                             "for the whole train corpus and reused every "
+                             "epoch — numerically identical, skips half of "
+                             "each step's ViT work and half the image "
+                             "decodes. The reference re-embeds every epoch.")
     parser.add_argument("--grad-accumulation-step", default=1, type=int)
     parser.add_argument("--validation-frequency", default=1, type=int)
     parser.add_argument("--weight-decay", default=0.05, type=float)
@@ -112,13 +120,22 @@ def main(argv=None):
         validation_frequency=args.validation_frequency)
 
     # datasets
+    cache_targets = not args.blip_img_tune \
+        and not args.no_cache_target_features
     rng = np.random.default_rng(args.seed)
     if dataset_name == "cirr":
-        train_ds = CIRRDataset(args.data_root, "train", "relative", transform)
+        train_ds = CIRRDataset(args.data_root, "train", "relative", transform,
+                               skip_target_image=cache_targets)
+        classic_train = CIRRDataset(args.data_root, "train", "classic",
+                                    transform)
     else:
         train_ds = FashionIQDataset(args.data_root, "train",
                                     list(args.dress_types), "relative",
-                                    transform)
+                                    transform,
+                                    skip_target_image=cache_targets)
+        classic_train = FashionIQDataset(args.data_root, "train",
+                                         list(args.dress_types), "classic",
+                                         transform)
     loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
                          seed=args.seed, workers=8)
     steps_per_epoch = max(len(loader), 1)
@@ -151,6 +168,23 @@ def main(argv=None):
     step_fn = make_stage1_train_step(model, finetune_vit=args.blip_img_tune)
     drop_rng = jax.random.key(args.seed)
 
+    # target-feature cache: with a frozen ViT and deterministic transforms
+    # the pooled target features are constant — embed the train corpus once
+    # and gather per batch ([B, 256] vs a second [B, 384, 384, 3] ViT pass)
+    tgt_pooled_np, tgt_pos = None, None
+    if cache_targets:
+        from candidate_reranking_cir_tpu.retrieval.index import build_index
+        from candidate_reranking_cir_tpu.retrieval.validate_engine import (
+            make_stage1_fns,
+        )
+
+        print("caching pooled target features for the train corpus...")
+        embed, _ = make_stage1_fns(model, jax.device_get(state.params))
+        _, pooled, names = build_index(classic_train, embed, args.blip_bs,
+                                       pooled=True, keep_raw=False)
+        tgt_pooled_np = np.asarray(pooled, np.float32)
+        tgt_pos = {nm: i for i, nm in enumerate(names)}
+
     best_metric = -1.0
     with jax.set_mesh(mesh):
         state = shard_state(mesh, state, args.fsdp)
@@ -161,11 +195,18 @@ def main(argv=None):
                 captions = batch["caption"] if dataset_name == "cirr" else \
                     compose_fiq_train(batch["captions"], rng)
                 ids, mask = tokenize_batch(tokenizer, captions, args.text_len)
-                device_batch = shard_batch(mesh, {
+                host_batch = {
                     "ref_images": batch["reference_image"].astype(np.float32),
-                    "target_images": batch["target_image"].astype(np.float32),
                     "input_ids": ids, "attention_mask": mask,
-                })
+                }
+                if cache_targets:
+                    rows = np.asarray([tgt_pos[nm]
+                                       for nm in batch["target_name"]])
+                    host_batch["target_pooled"] = tgt_pooled_np[rows]
+                else:
+                    host_batch["target_images"] = \
+                        batch["target_image"].astype(np.float32)
+                device_batch = shard_batch(mesh, host_batch)
                 state, loss = step_fn(state, device_batch, drop_rng)
                 loss = float(loss)
                 running_loss += loss * ids.shape[0]

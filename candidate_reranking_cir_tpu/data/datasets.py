@@ -40,7 +40,7 @@ class CIRRDataset:
                  transform: Callable | None = None, *,
                  force_validate: bool = False,
                  load_topk: str | Path | None = None, k: int | None = None,
-                 skip_errors: bool = False):
+                 skip_errors: bool = False, skip_target_image: bool = False):
         if split not in ("train", "val", "test1"):
             raise ValueError("split should be in ['test1', 'train', 'val']")
         if mode not in ("relative", "classic"):
@@ -51,6 +51,9 @@ class CIRRDataset:
         self.transform = transform
         self.force_validate = force_validate
         self.skip_errors = skip_errors
+        # training with a frozen ViT + cached target features doesn't need
+        # target pixels: skip the decode entirely (halves loader work)
+        self.skip_target_image = skip_target_image
 
         base = self.root / "cirr_dataset" / "cirr"
         with open(base / "captions" / f"cap.rc2.{split}.json") as f:
@@ -113,7 +116,8 @@ class CIRRDataset:
                 s["target_name"] = t["target_hard"]
             if self.split == "train" and not self.force_validate:
                 s["reference_image"] = self.open_image(t["reference"])
-                s["target_image"] = self.open_image(t["target_hard"])
+                if not self.skip_target_image:
+                    s["target_image"] = self.open_image(t["target_hard"])
             if self.topk is not None:
                 s["topk_names"] = self.topk["sorted_index_names"][index]
                 if "labels" in self.topk:
@@ -131,7 +135,7 @@ class FashionIQDataset:
                  mode: str, transform: Callable | None = None, *,
                  force_validate: bool = False,
                  load_topk: str | Path | None = None, k: int | None = None,
-                 skip_errors: bool = False):
+                 skip_errors: bool = False, skip_target_image: bool = False):
         if split not in ("train", "val", "test"):
             raise ValueError("split should be in ['test', 'train', 'val']")
         if mode not in ("relative", "classic"):
@@ -147,6 +151,7 @@ class FashionIQDataset:
         self.transform = transform
         self.force_validate = force_validate
         self.skip_errors = skip_errors
+        self.skip_target_image = skip_target_image
 
         base = self.root / "fashionIQ_dataset"
         self.triplets: list[dict] = []
@@ -206,7 +211,8 @@ class FashionIQDataset:
                 s["target_name"] = t["target"]
             if self.split == "train" and not self.force_validate:
                 s["reference_image"] = self.open_image(t["candidate"])
-                s["target_image"] = self.open_image(t["target"])
+                if not self.skip_target_image:
+                    s["target_image"] = self.open_image(t["target"])
             elif self.split == "test":
                 s["reference_image"] = self.open_image(t["candidate"])
             if self.topk is not None:

@@ -54,7 +54,7 @@ def iter_batches(dataset, batch_size: int) -> Iterable[tuple[list[str], np.ndarr
 
 def build_index(dataset, embed_fn: Callable, batch_size: int = 32, *,
                 pooled: bool = True, feature_dtype=jnp.bfloat16, mesh=None,
-                shard_index: bool = False):
+                shard_index: bool = False, keep_raw: bool = True):
     """Embed the whole corpus.
 
     embed_fn: [B, H, W, 3] -> raw [B, M, D] or (raw, pooled[B, E]) jitted fn
@@ -96,12 +96,17 @@ def build_index(dataset, embed_fn: Callable, batch_size: int = 32, *,
             pooled_chunks.append(np.asarray(pool[:valid], dtype=np.float32))
         else:
             raw = out
-        raw_chunks.append(np.asarray(raw[:valid].astype(feature_dtype)))
+        if keep_raw:
+            raw_chunks.append(np.asarray(raw[:valid].astype(feature_dtype)))
         names_all.extend(names)
 
-    raw_np = np.concatenate(raw_chunks)
     pooled_all = (jnp.asarray(np.concatenate(pooled_chunks))
                   if pooled else None)
+    if not keep_raw:
+        # pooled-only mode (e.g. the stage-I trainer's target-feature cache):
+        # the [N, M, D] token bank is never materialized
+        return None, pooled_all, names_all
+    raw_np = np.concatenate(raw_chunks)
     if mesh is not None and shard_index:
         from candidate_reranking_cir_tpu.parallel.mesh import (
             batch_sharding,

@@ -27,12 +27,14 @@ from candidate_reranking_cir_tpu.retrieval.rerank import (
 
 def _build_stage2_index(reranker, s2_params, classic_ds, batch_size=16,
                         mesh=None, shard_index=False):
+    # params as a jit argument — closing over them would bake the weights
+    # into the HLO (remote-compile request size limit)
     @jax.jit
-    def embed(images):
-        return reranker.apply(s2_params, images,
-                              method=RerankerModel.embed_images)
+    def _embed(p, images):
+        return reranker.apply(p, images, method=RerankerModel.embed_images)
 
-    return build_index(classic_ds, embed, batch_size, pooled=False, mesh=mesh,
+    return build_index(classic_ds, lambda im: _embed(s2_params, im),
+                       batch_size, pooled=False, mesh=mesh,
                        shard_index=shard_index)
 
 

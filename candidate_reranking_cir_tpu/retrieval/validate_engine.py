@@ -35,15 +35,24 @@ class Stage1EvalResult:
 
 
 def make_stage1_fns(model: RetrievalModel, params):
+    # params are explicit jit ARGUMENTS (bound here, not closed over): a
+    # closure would bake ~1 GB of weights into the HLO as constants, which
+    # the remote-compile path rejects (request size limit)
     @jax.jit
-    def embed(images):
-        return model.apply(params, images, pool_and_normalize=True,
+    def _embed(p, images):
+        return model.apply(p, images, pool_and_normalize=True,
                            method=RetrievalModel.embed_images)
 
     @jax.jit
-    def fuse(ref_feats, ids, mask):
-        return model.apply(params, ref_feats, ids, mask,
+    def _fuse(p, ref_feats, ids, mask):
+        return model.apply(p, ref_feats, ids, mask,
                            method=RetrievalModel.fuse)
+
+    def embed(images):
+        return _embed(params, images)
+
+    def fuse(ref_feats, ids, mask):
+        return _fuse(params, ref_feats, ids, mask)
 
     return embed, fuse
 

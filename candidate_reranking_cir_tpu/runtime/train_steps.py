@@ -56,10 +56,19 @@ class TrainState:
 
 def stage1_loss(model: RetrievalModel, params, batch, rngs, *,
                 finetune_vit: bool, train: bool = True):
-    """batch: ref_images, target_images [B, H, W, 3]; input_ids, attention_mask
-    [B, L]. Returns (loss, logits [B, B])."""
+    """batch: ref_images [B, H, W, 3]; input_ids, attention_mask [B, L];
+    and either target_images [B, H, W, 3] or target_pooled [B, E]
+    (precomputed normalized target features — valid with a frozen ViT, whose
+    features are constant across epochs). Returns (loss, logits [B, B])."""
     det = not train
-    if finetune_vit and train:
+    if "target_pooled" in batch:
+        assert not (finetune_vit and train), \
+            "cached target features require a frozen ViT"
+        tgt_pooled = jax.lax.stop_gradient(batch["target_pooled"])
+        ref_feats = model.apply(jax.lax.stop_gradient(params),
+                                batch["ref_images"],
+                                method=RetrievalModel.embed_images)
+    elif finetune_vit and train:
         ref_feats = model.apply(params, batch["ref_images"],
                                 deterministic=det, rngs=rngs,
                                 method=RetrievalModel.embed_images)

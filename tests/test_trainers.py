@@ -139,3 +139,26 @@ def test_stage2_trainer_one_epoch(root, capsys, tmp_path):
     loss = float(text.split("loss=")[1].split(" ")[0])
     # CE over a 4-row pair grid at random init ~ ln(4)
     assert 0.3 < loss < 3.5
+
+
+def test_stage1_cached_targets_matches_uncached(root, capsys):
+    """Target-feature cache (default with a frozen ViT): same training losses
+    as re-embedding targets every step."""
+    import re
+
+    from candidate_reranking_cir_tpu.cli import stage1_train
+
+    def run(extra, name):
+        stage1_train.main(_common(root) + [
+            "--experiment-name", name, "--output-dir",
+            str(root / "models_cache"), "--num-epochs", "1",
+            "--batch-size", "4", "--blip-max-epoch", "2",
+            "--validation-frequency", "5"] + extra)
+        out = capsys.readouterr().out
+        m = re.search(r"\[epoch 0\] loss=([0-9.]+)", out)
+        assert m, out
+        return float(m.group(1))
+
+    loss_cached = run([], "cache_on")
+    loss_plain = run(["--no-cache-target-features"], "cache_off")
+    assert abs(loss_cached - loss_plain) < 5e-4, (loss_cached, loss_plain)
