@@ -196,11 +196,14 @@ def bench_stage2_train(rtt, iters=4):
     state = TrainState.create(s2_params, tx)
     step = make_stage2_train_step(s1, s2, donate=True)
 
-    state, loss = step(state, s1_params, batch, jax.random.key(3))
+    # rbg dropout keys (the trainer default): threefry mask generation over
+    # the pair-grid attention probs costs ~20% of the step
+    state, loss = step(state, s1_params, batch, jax.random.key(3, impl="rbg"))
     float(loss)  # compile + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, loss = step(state, s1_params, batch, jax.random.key(4))
+        state, loss = step(state, s1_params, batch,
+                           jax.random.key(4, impl="rbg"))
     float(loss)
     dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
     emit("stage2_train_triplets_per_sec", b * b / dt, "triplets/s",
@@ -253,11 +256,11 @@ def bench_stage1_train(rtt, iters=2):
     state = TrainState.create(params, tx)
     step = make_stage1_train_step(model, finetune_vit=False, donate=True)
 
-    state, loss = step(state, batch, jax.random.key(1))
+    state, loss = step(state, batch, jax.random.key(1, impl="rbg"))
     float(loss)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, loss = step(state, batch, jax.random.key(2))
+        state, loss = step(state, batch, jax.random.key(2, impl="rbg"))
     float(loss)
     dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
     emit("stage1_train_pairs_per_sec", b / dt, "pairs/s",

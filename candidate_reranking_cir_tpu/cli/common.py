@@ -61,6 +61,13 @@ def add_common_flags(parser: argparse.ArgumentParser):
                              "VMEM-resident kernel (measured ~10%% faster "
                              "ViT forward at 577 tokens); 'auto' enables it "
                              "on TPU backends only")
+    parser.add_argument("--dropout-rng", type=str, default="rbg",
+                        choices=["rbg", "threefry2x32"],
+                        help="PRNG for dropout masks: the hardware "
+                             "RngBitGenerator (default; threefry mask "
+                             "generation over the pair-grid attention probs "
+                             "costs ~20%% of a stage-II train step) or "
+                             "jax's default threefry")
     parser.add_argument("--mesh", type=str, default="auto",
                         choices=["auto", "off"],
                         help="'auto' shards eval over all visible chips "

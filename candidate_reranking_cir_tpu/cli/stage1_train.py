@@ -166,7 +166,10 @@ def main(argv=None):
     comet = make_comet(args.api_key or None, args.workspace or None,
                        f"cir-stage1-{dataset_name}", args.experiment_name)
     step_fn = make_stage1_train_step(model, finetune_vit=args.blip_img_tune)
-    drop_rng = jax.random.key(args.seed)
+    # rbg dropout keys: threefry mask generation over the pair-grid
+    # attention probs is VPU-bound (~20% of the stage-II step); the
+    # hardware RngBitGenerator is statistically equivalent and cheap
+    drop_rng = jax.random.key(args.seed, impl=args.dropout_rng)
 
     # target-feature cache: with a frozen ViT and deterministic transforms
     # the pooled target features are constant — embed the train corpus once

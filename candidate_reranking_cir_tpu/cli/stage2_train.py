@@ -139,7 +139,10 @@ def main(argv=None):
                        f"cir-stage2-{dataset_name}", args.experiment_name)
     step_fn = make_stage2_train_step(stage1, reranker,
                                      finetune_vit=args.blip_img_tune)
-    drop_rng = jax.random.key(args.seed)
+    # rbg dropout keys: threefry mask generation over the pair-grid
+    # attention probs is VPU-bound (~20% of the stage-II step); the
+    # hardware RngBitGenerator is statistically equivalent and cheap
+    drop_rng = jax.random.key(args.seed, impl=args.dropout_rng)
 
     best_metric = -1.0
     with jax.set_mesh(mesh):
