@@ -18,6 +18,7 @@ from candidate_reranking_cir_tpu.cli.common import (
     get_tokenizer,
     get_transform,
     load_params,
+    parse_l_buckets,
 )
 from candidate_reranking_cir_tpu.data.datasets import CIRRDataset
 from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
@@ -51,6 +52,9 @@ def main(argv=None):
     parser.add_argument("--shard-index", action="store_true",
                         help="shard the corpus feature bank over the mesh "
                              "(candidate-major schedule only)")
+    parser.add_argument("--l-buckets", type=str, default="auto",
+                        help="text-length buckets for the candidate-major "
+                             "scheduler: 'auto', 'off', or '16,24,40'")
     args = parser.parse_args(argv)
     assert args.dataset.lower() == "cirr"
 
@@ -90,7 +94,8 @@ def main(argv=None):
                       captions=captions, reference_names=refs,
                       topk_names=topk_names, index_feats=raw,
                       index_names=index_names, text_len=args.text_len,
-                      q_batch=args.q_batch, group_members=groups)
+                      q_batch=args.q_batch, group_members=groups,
+                      l_buckets=parse_l_buckets(args.l_buckets))
 
     reranked_names = np.take_along_axis(
         np.asarray(topk_names, dtype=object), out.order, axis=1)

@@ -165,6 +165,45 @@ def get_mesh(args):
     return make_mesh()
 
 
+def parse_l_buckets(spec: str):
+    """--l-buckets value -> rerank_candidate_major's l_buckets argument:
+    'auto', 'off' (None, single --text-len bucket), or '16,24,40'."""
+    if spec == "auto":
+        return "auto"
+    if spec in ("off", "none"):
+        return None
+    return tuple(int(b) for b in spec.split(","))
+
+
+def parse_text_buckets(spec: str, text_len: int) -> tuple[int, ...]:
+    """Static per-batch text-width buckets for the trainers. 'auto' cuts at
+    ~60%/80%/100% of --text-len (multiples of 8); 'off' -> () keeps the
+    single static bucket."""
+    if spec in ("off", "none"):
+        return ()
+    if spec == "auto":
+        cand = {min(-(-int(text_len * f) // 8) * 8, text_len)
+                for f in (0.6, 0.8)}
+    else:
+        cand = {int(b) for b in spec.split(",") if int(b) <= text_len}
+    cand.add(text_len)
+    return tuple(sorted(cand))
+
+
+def text_bucket_slice(ids, mask, buckets: tuple[int, ...]):
+    """Slice a pad-to-text_len batch down to the smallest bucket holding its
+    longest caption. The reference trains pad-to-longest per batch
+    (blip_stage1.py:72 tokenizes padding='longest'); a fixed bucket set keeps
+    the compiled-program count bounded while recovering most of that saving —
+    the train step's text-side compute scales with the padded width.
+    Numerics per real token are unchanged (pad keys additively masked)."""
+    if not buckets:
+        return ids, mask
+    max_len = int(mask.sum(axis=1).max())
+    lb = next((b for b in buckets if b >= max_len), ids.shape[1])
+    return ids[:, :lb], mask[:, :lb]
+
+
 def get_tokenizer(args):
     tok = load_tokenizer(args.vocab or None)
     tok.overflow = getattr(args, "text_overflow", "error")

@@ -23,7 +23,9 @@ from candidate_reranking_cir_tpu.cli.common import (
     get_tokenizer,
     get_transform,
     load_params,
+    parse_text_buckets,
     print_metrics,
+    text_bucket_slice,
 )
 from candidate_reranking_cir_tpu.config import TrainConfig
 from candidate_reranking_cir_tpu.data.captions import compose_fiq_train
@@ -88,6 +90,11 @@ def parse_args(argv=None):
                         help="shard params AND optimizer moments over the "
                              "mesh's data axis (ZeRO-style) instead of "
                              "replicating them")
+    parser.add_argument("--text-len-buckets", type=str, default="auto",
+                        help="per-batch static text-width buckets (the "
+                             "reference trains pad-to-longest per batch): "
+                             "'auto' (~60/80/100%% of --text-len), 'off', or "
+                             "a comma list like '24,32'")
     parser.add_argument("--resume", action="store_true",
                         help="resume from <output-dir>/<exp>/saved_models/"
                              "blip_last (full train state incl. optimizer — "
@@ -170,6 +177,7 @@ def main(argv=None):
     # attention probs is VPU-bound (~20% of the stage-II step); the
     # hardware RngBitGenerator is statistically equivalent and cheap
     drop_rng = jax.random.key(args.seed, impl=args.dropout_rng)
+    text_buckets = parse_text_buckets(args.text_len_buckets, args.text_len)
 
     # target-feature cache: with a frozen ViT and deterministic transforms
     # the pooled target features are constant — embed the train corpus once
@@ -198,6 +206,7 @@ def main(argv=None):
                 captions = batch["caption"] if dataset_name == "cirr" else \
                     compose_fiq_train(batch["captions"], rng)
                 ids, mask = tokenize_batch(tokenizer, captions, args.text_len)
+                ids, mask = text_bucket_slice(ids, mask, text_buckets)
                 host_batch = {
                     "ref_images": batch["reference_image"].astype(np.float32),
                     "input_ids": ids, "attention_mask": mask,

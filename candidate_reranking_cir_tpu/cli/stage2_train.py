@@ -21,7 +21,9 @@ from candidate_reranking_cir_tpu.cli.common import (
     get_tokenizer,
     get_transform,
     load_params,
+    parse_text_buckets,
     print_metrics,
+    text_bucket_slice,
 )
 from candidate_reranking_cir_tpu.config import TrainConfig
 from candidate_reranking_cir_tpu.data.captions import compose_fiq_train
@@ -80,6 +82,12 @@ def parse_args(argv=None):
                              "replicating them")
     parser.add_argument("--resume", action="store_true",
                         help="resume from saved_models/blip_last")
+    parser.add_argument("--text-len-buckets", type=str, default="auto",
+                        help="per-batch static text-width buckets (the "
+                             "reference trains pad-to-longest per batch): "
+                             "'auto' (~60/80/100%% of --text-len), 'off', or "
+                             "a comma list like '24,32'. One compiled "
+                             "program per bucket")
     return parser.parse_args(argv)
 
 
@@ -143,6 +151,7 @@ def main(argv=None):
     # attention probs is VPU-bound (~20% of the stage-II step); the
     # hardware RngBitGenerator is statistically equivalent and cheap
     drop_rng = jax.random.key(args.seed, impl=args.dropout_rng)
+    text_buckets = parse_text_buckets(args.text_len_buckets, args.text_len)
 
     best_metric = -1.0
     with jax.set_mesh(mesh):
@@ -156,6 +165,7 @@ def main(argv=None):
                     compose_fiq_train(batch["captions"], rng)
                 ids, mask = tokenizer.encode(captions, args.text_len,
                                              set_enc_token=True)
+                ids, mask = text_bucket_slice(ids, mask, text_buckets)
                 device_batch = shard_batch(mesh, {
                     "ref_images": batch["reference_image"].astype(np.float32),
                     "target_images": batch["target_image"].astype(np.float32),

@@ -11,6 +11,7 @@ from candidate_reranking_cir_tpu.cli.common import (
     get_tokenizer,
     get_transform,
     load_params,
+    parse_l_buckets,
     print_metrics,
 )
 from candidate_reranking_cir_tpu.retrieval.validate2_engine import (
@@ -40,6 +41,13 @@ def main(argv=None):
                              "instead of replicating it (for corpora beyond "
                              "per-chip HBM); needs --mesh auto and the "
                              "candidate-major schedule")
+    parser.add_argument("--l-buckets", type=str, default="auto",
+                        help="text-length buckets for the candidate-major "
+                             "scheduler: 'auto' (length-percentile cuts), "
+                             "'off' (single --text-len bucket), or a comma "
+                             "list like '16,24,40'. Most grid compute scales "
+                             "with text width; scores are bit-exact across "
+                             "bucket widths")
     args = parser.parse_args(argv)
 
     stage1, s1_cfg = build_stage1(args)
@@ -49,6 +57,7 @@ def main(argv=None):
     tokenizer = get_tokenizer(args)
     transform = get_transform(args)
     mesh = get_mesh(args)
+    l_buckets = parse_l_buckets(args.l_buckets)
 
     if args.dataset.lower() == "cirr":
         mets = evaluate_cirr_stage2(
@@ -56,7 +65,7 @@ def main(argv=None):
             data_root=args.data_root, transform=transform,
             top_k_path=args.top_k_path, k=args.k_value,
             text_len=args.text_len, q_batch=args.q_batch, mesh=mesh,
-            schedule=args.schedule,
+            schedule=args.schedule, l_buckets=l_buckets,
             shard_index=args.shard_index and mesh is not None)
         print_metrics(mets)
         print(f"recall_mean = {mets['mean_r5_rs1']:.2f}")
@@ -66,7 +75,7 @@ def main(argv=None):
             data_root=args.data_root, transform=transform,
             top_k_path=args.top_k_path, k=args.k_value,
             text_len=args.text_len, q_batch=args.q_batch, mesh=mesh,
-            schedule=args.schedule,
+            schedule=args.schedule, l_buckets=l_buckets,
             shard_index=args.shard_index and mesh is not None)
         print_metrics(mets)
     else:

@@ -319,6 +319,26 @@ def make_cand_major_sharded_fns(stage1: RetrievalModel,
     return _cache_put(key, (produce_all_zt, bucket_scan))
 
 
+def resolve_l_buckets(l_buckets, lengths: np.ndarray,
+                      text_len: int) -> list[int]:
+    """Static text-length buckets for the scheduler, smallest-sufficient
+    assignment. 'auto' cuts at the 50th/90th length percentiles (rounded up
+    to sublane multiples of 8); None keeps the single text_len bucket."""
+    max_len = int(lengths.max()) if len(lengths) else text_len
+    if l_buckets is None:
+        return [text_len]
+    if l_buckets == "auto":
+        cand = {min(-(-int(np.percentile(lengths, p)) // 8) * 8, text_len)
+                for p in (50, 90)}
+        cand.add(min(-(-max_len // 8) * 8, text_len))
+    else:
+        cand = {int(b) for b in l_buckets if int(b) <= text_len}
+    cand = {max(b, 8) for b in cand}
+    if not cand or max(cand) < max_len:  # always one bucket fits every query
+        cand.add(min(-(-max_len // 8) * 8, text_len))
+    return sorted(cand)
+
+
 def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
                            captions: list[str], reference_names: list[str],
                            topk_names: np.ndarray, index_feats,
@@ -327,6 +347,7 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
                            group_members: list[list[str]] | None = None,
                            pairs_per_call: int = 512,
                            q_buckets: tuple[int, ...] = (8, 32, 128),
+                           l_buckets="auto",
                            zt_batch: int = 32, mesh=None,
                            index_sharded: bool = False) -> RerankOutput:
     """Candidate-major re-rank scheduling: same outputs as ``rerank`` but the
@@ -342,7 +363,20 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
     (validate_stage2.py:261-269 runs groups regardless).
 
     Static shapes: per-candidate query lists are padded into ``q_buckets``
-    and batched ``A`` candidates per call with A*B == pairs_per_call.
+    and batched ``A`` candidates per call with A*B*L == pairs_per_call*Lmax
+    FLOP-equivalent rows per call.
+
+    l_buckets: text-length buckets. ~95% of grid time scales with the text
+    width L (cross-attn scores/softmax, FFN, Q/out projections; only the
+    per-candidate K/V projections are L-independent), and the reference runs
+    each eval query at its OWN caption length (validate_stage2.py is bs=1 with
+    pad-to-longest) while a single static bucket pads every caption to
+    text_len. Queries are therefore grouped into static L-buckets (smallest
+    bucket >= token count) and each bucket runs its own z_t scan + grid
+    scans at the narrower width. Scores are BIT-exact across bucket widths:
+    pad keys are masked additively (-10000 => exp underflows to 0.0) so real
+    rows never read pad positions. 'auto' (default) cuts at the 50th/90th
+    length percentiles; None restores the single text_len bucket.
 
     Dispatch: ALL of a bucket's calls run inside ONE jitted ``lax.scan`` —
     the row indices, token ids and features are uploaded to the device once
@@ -387,145 +421,170 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
         grp_idx = np.asarray(
             [[pos[m] for m in row] for row in members_no_ref], np.int32)
 
-    # ---- 1. device-resident inputs, uploaded once --------------------------
-    ids_dev = jnp.asarray(ids_all)
-    mask_dev = jnp.asarray(mask_all)
+    # ---- 1. shared device-resident inputs ----------------------------------
+    rep = None
     if mesh is not None:
         from candidate_reranking_cir_tpu.parallel.mesh import replicated
 
         rep = replicated(mesh)
-        ids_dev = jax.device_put(ids_dev, rep)
-        mask_dev = jax.device_put(mask_dev, rep)
         if not index_sharded:  # sharded banks are already laid out P('data')
             index_feats = jax.device_put(index_feats, rep)
         s1_params = jax.device_put(s1_params, rep)
         s2_params = jax.device_put(s2_params, rep)
 
-    # ---- 2. produce z_t for every query in ONE scan program ---------------
     if index_sharded:
         produce_all_zt, bucket_scan = make_cand_major_sharded_fns(
             stage1, reranker, mesh)
     else:
         produce_all_zt, bucket_scan = make_cand_major_fns(stage1, reranker)
-    n_zt = (n + zt_batch - 1) // zt_batch
-    zt_rows = np.zeros((n_zt, zt_batch), np.int32)
-    for i in range(n_zt):
-        rows = np.arange(i * zt_batch, min((i + 1) * zt_batch, n))
-        zt_rows[i, :len(rows)] = rows  # tail padding repeats row 0
-
-    zt_all = produce_all_zt(s1_params, index_feats, ids_dev, mask_dev,
-                            jnp.asarray(ref_idx), jnp.asarray(zt_rows))[:n]
-
-    # ---- 3. pair lists per candidate --------------------------------------
-    # entry: (query_row, kind, col); kind 0 = top-K slot, kind 1 = group slot
-    per_cand: dict[int, list[tuple[int, int, int]]] = {}
-    for qi in range(n):
-        if not skip[qi]:
-            for j in range(k):
-                per_cand.setdefault(int(cand_idx[qi, j]), []).append((qi, 0, j))
-        if do_groups:
-            for j in range(grp_idx.shape[1]):
-                per_cand.setdefault(int(grp_idx[qi, j]), []).append((qi, 1, j))
-
-    # ---- 4. bucket each candidate's pairs into fixed-size chunks ----------
-    # greedy decomposition largest-bucket-first so padding waste per
-    # candidate is bounded by the smallest bucket (e.g. 100 pairs with
-    # buckets (8,32,128) -> 32+32+32+8, 4 padded rows — NOT one 128-chunk
-    # with 28 padded rows)
-    buckets = sorted(q_buckets)
-    chunks_by_b: dict[int, list[tuple[int, list]]] = {b: [] for b in buckets}
-    for cid, entries in per_cand.items():
-        s = 0
-        remaining = len(entries)
-        for b in reversed(buckets):
-            while remaining >= b:
-                chunks_by_b[b].append((cid, entries[s:s + b]))
-                s += b
-                remaining -= b
-        if remaining:
-            b = next(bb for bb in buckets if bb >= remaining)
-            chunks_by_b[b].append((cid, entries[s:]))
 
     logits = np.full((n, k), SKIP_LOGIT, np.float32)
     grp_logits = np.zeros((n, 5), np.float32) if do_groups else None
-
-    # ---- 5. ONE scan program per bucket ------------------------------------
-    # every bucket's calls run inside a single jitted lax.scan over
-    # (rows [n_calls, A, B], cands [n_calls, A]); z_t/ids/mask/features are
-    # gathered on device per call — one dispatch + one D2H fetch per bucket
     shard_size = index_feats.shape[0] // n_dev if index_sharded else 0
-    for b in buckets:
-        chunks = chunks_by_b[b]
-        if not chunks:
+
+    lengths = mask_all.sum(axis=1).astype(np.int32)
+    lbs = resolve_l_buckets(l_buckets, lengths, text_len)
+    assign = np.searchsorted(np.asarray(lbs), lengths)
+
+    for lbi, lb in enumerate(lbs):
+        qsel = np.nonzero(assign == lbi)[0]
+        n_lb = len(qsel)
+        if n_lb == 0:
             continue
-        if index_sharded:
-            # each chip scores only candidates whose features it owns: the
-            # A axis is laid out as n_dev contiguous owner blocks and cands
-            # holds shard-LOCAL indices
-            a_dev = max(1, pairs_per_call // b // n_dev)
-            a = a_dev * n_dev
-            by_owner: list[list] = [[] for _ in range(n_dev)]
-            for cid, entries in chunks:
-                by_owner[cid // shard_size].append((cid, entries))
-            n_calls = max((len(lst) + a_dev - 1) // a_dev
-                          for lst in by_owner)
-            packed = []
-            for d, lst in enumerate(by_owner):
-                lst = lst + [(d * shard_size, [])] * (n_calls * a_dev
-                                                      - len(lst))
-                packed.append(lst)
-        else:
-            a = max(1, pairs_per_call // b)
-            a = ((a + n_dev - 1) // n_dev) * n_dev  # shardable cand axis
-            n_calls = (len(chunks) + a - 1) // a
-            chunks = chunks + [(chunks[0][0], [])] * (n_calls * a
-                                                      - len(chunks))
 
-        rows = np.zeros((n_calls, a, b), np.int32)
-        valid = np.zeros((n_calls, a, b), bool)
-        qrow = np.zeros((n_calls, a, b), np.int32)
-        kind = np.zeros((n_calls, a, b), np.int32)
-        col = np.zeros((n_calls, a, b), np.int32)
-        cands = np.zeros((n_calls, a), np.int32)
+        # ---- 2. this L-bucket's inputs, uploaded once ----------------------
+        ids_dev = jnp.asarray(ids_all[qsel][:, :lb])
+        mask_dev = jnp.asarray(mask_all[qsel][:, :lb])
+        if rep is not None:
+            ids_dev = jax.device_put(ids_dev, rep)
+            mask_dev = jax.device_put(mask_dev, rep)
 
-        def fill(ci, ai, cid, entries):
-            cands[ci, ai] = cid - (ai // a_dev) * shard_size \
-                if index_sharded else cid
-            for bi, (qi, kd, cl) in enumerate(entries):
-                rows[ci, ai, bi] = qi
-                valid[ci, ai, bi] = True
-                qrow[ci, ai, bi], kind[ci, ai, bi], col[ci, ai, bi] = \
-                    qi, kd, cl
+        # ---- 3. z_t for every bucket query in ONE scan program -------------
+        n_zt = (n_lb + zt_batch - 1) // zt_batch
+        zt_rows = np.zeros((n_zt, zt_batch), np.int32)
+        for i in range(n_zt):
+            rows = np.arange(i * zt_batch, min((i + 1) * zt_batch, n_lb))
+            zt_rows[i, :len(rows)] = rows  # tail padding repeats row 0
 
-        if index_sharded:
-            for d, lst in enumerate(packed):
-                for idx, (cid, entries) in enumerate(lst):
-                    ci, ai_local = divmod(idx, a_dev)
-                    fill(ci, d * a_dev + ai_local, cid, entries)
-        else:
-            for idx, (cid, entries) in enumerate(chunks):
-                ci, ai = divmod(idx, a)
-                fill(ci, ai, cid, entries)
+        zt_all = produce_all_zt(s1_params, index_feats, ids_dev, mask_dev,
+                                jnp.asarray(ref_idx[qsel]),
+                                jnp.asarray(zt_rows))[:n_lb]
 
-        rows_dev = jnp.asarray(rows)
-        cands_dev = jnp.asarray(cands)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        # ---- 4. pair lists per candidate ------------------------------------
+        # entry: (local_row, global_query, kind, col);
+        # kind 0 = top-K slot, kind 1 = group slot
+        per_cand: dict[int, list[tuple[int, int, int, int]]] = {}
+        for li, qi in enumerate(qsel):
+            qi = int(qi)
+            if not skip[qi]:
+                for j in range(k):
+                    per_cand.setdefault(int(cand_idx[qi, j]), []).append(
+                        (li, qi, 0, j))
+            if do_groups:
+                for j in range(grp_idx.shape[1]):
+                    per_cand.setdefault(int(grp_idx[qi, j]), []).append(
+                        (li, qi, 1, j))
 
-            shard_a = NamedSharding(mesh, P(None, "data"))
-            rows_dev = jax.device_put(rows_dev,
-                                      NamedSharding(mesh, P(None, "data",
-                                                            None)))
-            cands_dev = jax.device_put(cands_dev, shard_a)
-        scores = np.asarray(
-            bucket_scan(s2_params, zt_all, ids_dev, mask_dev, index_feats,
-                        rows_dev, cands_dev), np.float32)
+        # ---- 5. bucket each candidate's pairs into fixed-size chunks --------
+        # greedy decomposition largest-bucket-first so padding waste per
+        # candidate is bounded by the smallest bucket (e.g. 100 pairs with
+        # buckets (8,32,128) -> 32+32+32+8, 4 padded rows — NOT one 128-chunk
+        # with 28 padded rows)
+        buckets = sorted(q_buckets)
+        chunks_by_b: dict[int, list[tuple[int, list]]] = \
+            {b: [] for b in buckets}
+        for cid, entries in per_cand.items():
+            s = 0
+            remaining = len(entries)
+            for b in reversed(buckets):
+                while remaining >= b:
+                    chunks_by_b[b].append((cid, entries[s:s + b]))
+                    s += b
+                    remaining -= b
+            if remaining:
+                b = next(bb for bb in buckets if bb >= remaining)
+                chunks_by_b[b].append((cid, entries[s:]))
 
-        tk = valid & (kind == 0)
-        logits[qrow[tk], col[tk]] = scores[tk]
-        if do_groups:
-            gp = valid & (kind == 1)
-            grp_logits[qrow[gp], col[gp]] = scores[gp]
+        # constant FLOPs per call: narrower text buckets take proportionally
+        # more pairs per grid call
+        ppc = max(64, pairs_per_call * text_len // lb)
+
+        # ---- 6. ONE scan program per (L, B) bucket ---------------------------
+        # every bucket's calls run inside a single jitted lax.scan over
+        # (rows [n_calls, A, B], cands [n_calls, A]); z_t/ids/mask/features
+        # are gathered on device per call — one dispatch and one D2H fetch
+        # per bucket instead of hundreds of small transfers
+        for b in buckets:
+            chunks = chunks_by_b[b]
+            if not chunks:
+                continue
+            if index_sharded:
+                # each chip scores only candidates whose features it owns:
+                # the A axis is laid out as n_dev contiguous owner blocks and
+                # cands holds shard-LOCAL indices
+                a_dev = max(1, ppc // b // n_dev)
+                a = a_dev * n_dev
+                by_owner: list[list] = [[] for _ in range(n_dev)]
+                for cid, entries in chunks:
+                    by_owner[cid // shard_size].append((cid, entries))
+                n_calls = max((len(lst) + a_dev - 1) // a_dev
+                              for lst in by_owner)
+                packed = []
+                for d, lst in enumerate(by_owner):
+                    lst = lst + [(d * shard_size, [])] * (n_calls * a_dev
+                                                          - len(lst))
+                    packed.append(lst)
+            else:
+                a = max(1, ppc // b)
+                a = ((a + n_dev - 1) // n_dev) * n_dev  # shardable cand axis
+                n_calls = (len(chunks) + a - 1) // a
+                chunks = chunks + [(chunks[0][0], [])] * (n_calls * a
+                                                          - len(chunks))
+
+            rows = np.zeros((n_calls, a, b), np.int32)
+            valid = np.zeros((n_calls, a, b), bool)
+            qrow = np.zeros((n_calls, a, b), np.int32)
+            kind = np.zeros((n_calls, a, b), np.int32)
+            col = np.zeros((n_calls, a, b), np.int32)
+            cands = np.zeros((n_calls, a), np.int32)
+
+            def fill(ci, ai, cid, entries):
+                cands[ci, ai] = cid - (ai // a_dev) * shard_size \
+                    if index_sharded else cid
+                for bi, (li, qi, kd, cl) in enumerate(entries):
+                    rows[ci, ai, bi] = li
+                    valid[ci, ai, bi] = True
+                    qrow[ci, ai, bi], kind[ci, ai, bi], col[ci, ai, bi] = \
+                        qi, kd, cl
+
+            if index_sharded:
+                for d, lst in enumerate(packed):
+                    for idx, (cid, entries) in enumerate(lst):
+                        ci, ai_local = divmod(idx, a_dev)
+                        fill(ci, d * a_dev + ai_local, cid, entries)
+            else:
+                for idx, (cid, entries) in enumerate(chunks):
+                    ci, ai = divmod(idx, a)
+                    fill(ci, ai, cid, entries)
+
+            rows_dev = jnp.asarray(rows)
+            cands_dev = jnp.asarray(cands)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                shard_a = NamedSharding(mesh, P(None, "data"))
+                rows_dev = jax.device_put(
+                    rows_dev, NamedSharding(mesh, P(None, "data", None)))
+                cands_dev = jax.device_put(cands_dev, shard_a)
+            scores = np.asarray(
+                bucket_scan(s2_params, zt_all, ids_dev, mask_dev,
+                            index_feats, rows_dev, cands_dev), np.float32)
+
+            tk = valid & (kind == 0)
+            logits[qrow[tk], col[tk]] = scores[tk]
+            if do_groups:
+                gp = valid & (kind == 1)
+                grp_logits[qrow[gp], col[gp]] = scores[gp]
 
     rank_order = np.argsort(-logits, axis=-1, kind="stable")
     group_order = (np.argsort(-grp_logits, axis=-1, kind="stable")

@@ -54,6 +54,7 @@ def _run_rerank(schedule, stage1, s1_params, reranker, s2_params, tokenizer,
                                       index_sharded=shard_index, **kw)
     if shard_index:
         raise ValueError("shard_index requires schedule='candidate_major'")
+    kw.pop("l_buckets", None)  # query-major runs the single text_len bucket
     return rerank(stage1, s1_params, reranker, s2_params, tokenizer,
                   mesh=mesh, **kw)
 
@@ -62,7 +63,7 @@ def evaluate_cirr_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                          data_root, transform, top_k_path, k, text_len,
                          q_batch: int = 8, batch_size: int = 16, mesh=None,
                          schedule: str = "candidate_major",
-                         shard_index: bool = False) -> dict:
+                         shard_index: bool = False, l_buckets="auto") -> dict:
     classic = CIRRDataset(data_root, "val", "classic", transform,
                           load_topk=top_k_path, k=k)
     relative = CIRRDataset(data_root, "val", "relative", transform,
@@ -89,7 +90,8 @@ def evaluate_cirr_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                       captions=captions, reference_names=refs,
                       topk_names=topk_names, index_feats=raw,
                       index_names=index_names, text_len=text_len,
-                      q_batch=q_batch, skip_mask=skip, group_members=groups)
+                      q_batch=q_batch, skip_mask=skip, group_members=groups,
+                      l_buckets=l_buckets)
 
     labels = M.reranked_labels(topk_labels, out.order)
     members_no_ref = [[m for m in g if m != r][:5]
@@ -113,7 +115,7 @@ def evaluate_fiq_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                         dress_types=("shirt", "dress", "toptee"),
                         q_batch: int = 8, batch_size: int = 16, mesh=None,
                         schedule: str = "candidate_major",
-                        shard_index: bool = False) -> dict:
+                        shard_index: bool = False, l_buckets="auto") -> dict:
     """Per-category re-rank eval; top_k_path may contain '{dress}' or the
     reference's 'DTYPE' placeholder, substituted per category (the reference
     stores one file per type, utils.py:195)."""
@@ -143,7 +145,8 @@ def evaluate_fiq_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                           captions=captions, reference_names=refs,
                           topk_names=topk_names, index_feats=raw,
                           index_names=index_names, text_len=text_len,
-                          q_batch=q_batch, skip_mask=skip)
+                          q_batch=q_batch, skip_mask=skip,
+                          l_buckets=l_buckets)
         labels = M.reranked_labels(topk_labels, out.order)
         n = len(labels)
         r10 = 100.0 * labels[:, :10].sum() / n

@@ -1,0 +1,302 @@
+"""Online CIR serving engine: stage-I rank + optional stage-II re-rank.
+
+A production surface the reference (a research repo) does not have: load the
+trained two-stage stack once, embed the corpus once (or load a cached index),
+then answer (reference image, modification text) queries at low latency.
+
+TPU-shaped: every device program is compiled once at a fixed query-batch
+shape ``q_pad`` (requests are padded up, results trimmed), the corpus index
+is device-resident in bf16, ranking is ``jax.lax.top_k`` (never a full-corpus
+argsort per request), and re-ranking reuses the offline pair-grid scorer
+(retrieval/rerank.rerank) at the same [q_pad, K] shape.
+
+Semantics match the offline engines: the reference image is removed from its
+own ranking (validate.py:207-210), stage-II re-sorts only the top
+``rerank_k`` candidates and leaves the tail stage-I-ordered (the reference's
+two-stage contract, cirr_test_submission_stage2.py:93-106), and z_t fusion
+for re-ranking runs over the STAGE-II ViT's features
+(validate_stage2.py:244).
+"""
+from __future__ import annotations
+
+import threading
+import queue
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
+from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+from candidate_reranking_cir_tpu.ops.topk import cosine_topk
+from candidate_reranking_cir_tpu.retrieval.rerank import rerank
+
+
+@dataclass
+class ServeRequest:
+    caption: str
+    reference: str | None = None       # corpus image name
+    reference_image: np.ndarray | None = None  # preprocessed [H, W, 3] fp32
+    k: int = 50
+
+
+@dataclass
+class ServeResult:
+    ranking: list[str]
+    scores: list[float]
+    reranked: int = 0   # how many head entries were stage-II re-scored
+
+
+@dataclass
+class ServingIndex:
+    """Device-resident corpus banks. ``raw_s2`` only when stage-II serves."""
+    names: list[str]
+    pooled_s1: jax.Array          # [N, E] fp32
+    raw_s1: jax.Array             # [N, M, W] bf16 (reference-image fusion)
+    raw_s2: jax.Array | None = None  # [N, M, W] bf16 (stage-II ViT)
+    pos: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.pos:
+            self.pos = {nm: i for i, nm in enumerate(self.names)}
+
+    def save(self, path):
+        """npz cache; bf16 stored as a uint16 bit view (npz has no bf16)."""
+        arrs = {
+            "names": np.asarray(self.names, dtype=object),
+            "pooled_s1": np.asarray(self.pooled_s1, np.float32),
+            "raw_s1": np.asarray(self.raw_s1).view(np.uint16),
+        }
+        if self.raw_s2 is not None:
+            arrs["raw_s2"] = np.asarray(self.raw_s2).view(np.uint16)
+        np.savez(path, **arrs)
+
+    @classmethod
+    def load(cls, path):
+        import ml_dtypes
+
+        z = np.load(path, allow_pickle=True)
+        bf16 = lambda a: jnp.asarray(a.view(ml_dtypes.bfloat16))
+        return cls(names=[str(n) for n in z["names"]],
+                   pooled_s1=jnp.asarray(z["pooled_s1"]),
+                   raw_s1=bf16(z["raw_s1"]),
+                   raw_s2=bf16(z["raw_s2"]) if "raw_s2" in z else None)
+
+
+def build_serving_index(stage1, s1_params, classic_dataset, *,
+                        reranker=None, s2_params=None,
+                        batch_size: int = 16) -> ServingIndex:
+    """Embed the whole corpus with the stage-I ViT (raw + pooled) and, when
+    a re-ranker is given, the stage-II ViT (raw) — the serving equivalent of
+    the offline extract_index_features (utils.py:25-72)."""
+    from candidate_reranking_cir_tpu.retrieval.index import build_index
+
+    @jax.jit
+    def embed_s1(p, images):
+        return stage1.apply(p, images, pool_and_normalize=True,
+                            method=RetrievalModel.embed_images)
+
+    raw1, pooled, names = build_index(
+        classic_dataset, lambda im: embed_s1(s1_params, im), batch_size,
+        pooled=True)
+    raw2 = None
+    if reranker is not None:
+        @jax.jit
+        def embed_s2(p, images):
+            return reranker.apply(p, images,
+                                  method=RerankerModel.embed_images)
+
+        raw2, _, names2 = build_index(
+            classic_dataset, lambda im: embed_s2(s2_params, im), batch_size,
+            pooled=False)
+        assert names2 == names
+    return ServingIndex(names=names, pooled_s1=jnp.asarray(pooled),
+                        raw_s1=raw1, raw_s2=raw2)
+
+
+class CIRServingEngine:
+    """Batched request handler over pre-compiled programs.
+
+    q_pad: the static query-batch width. Incoming batches are padded to it
+    (requests beyond q_pad are handled in successive waves).
+    """
+
+    def __init__(self, stage1, s1_params, tokenizer, index: ServingIndex, *,
+                 text_len: int = 40, q_pad: int = 4,
+                 reranker=None, s2_params=None, rerank_k: int = 50,
+                 max_k: int = 100):
+        self.stage1 = stage1
+        self.s1_params = s1_params
+        self.tokenizer = tokenizer
+        self.index = index
+        self.text_len = text_len
+        self.q_pad = q_pad
+        self.reranker = reranker
+        self.s2_params = s2_params
+        self.rerank_k = rerank_k
+        # +1 head-room so removing the reference still leaves max_k results
+        self.max_k = min(max_k + 1, len(index.names))
+
+        @jax.jit
+        def fuse_pooled(p, ref_feats, ids, mask):
+            return stage1.apply(p, ref_feats, ids, mask,
+                                method=RetrievalModel.fuse)
+
+        @jax.jit
+        def topk(pooled_index, preds):
+            return cosine_topk(preds, pooled_index, self.max_k)
+
+        @jax.jit
+        def embed_image_s1(p, images):
+            return stage1.apply(p, images, method=RetrievalModel.embed_images)
+
+        self._fuse_pooled = fuse_pooled
+        self._topk = topk
+        self._embed_image_s1 = embed_image_s1
+        if reranker is not None:
+            @jax.jit
+            def embed_image_s2(p, images):
+                return reranker.apply(p, images,
+                                      method=RerankerModel.embed_images)
+
+            self._embed_image_s2 = embed_image_s2
+
+    def warmup(self):
+        """Compile every serving program before traffic arrives."""
+        req = ServeRequest(caption="warm up", reference=self.index.names[0],
+                           k=min(10, len(self.index.names) - 1))
+        self.handle([req])
+
+    # ---- internals ---------------------------------------------------------
+
+    def _ref_feats(self, requests, bank, embed_fn):
+        """[B, M, W] reference features: corpus rows by name, or on-the-fly
+        embeds for requests carrying a new image."""
+        feats = []
+        for r in requests:
+            if r.reference_image is not None:
+                img = jnp.asarray(r.reference_image)[None]
+                feats.append(embed_fn(img)[0].astype(bank.dtype))
+            else:
+                feats.append(jnp.take(bank, self.index.pos[r.reference],
+                                      axis=0))
+        return jnp.stack(feats)
+
+    def handle(self, requests: list[ServeRequest]) -> list[ServeResult]:
+        out: list[ServeResult] = []
+        for start in range(0, len(requests), self.q_pad):
+            out.extend(self._handle_wave(requests[start:start + self.q_pad]))
+        return out
+
+    def _handle_wave(self, requests) -> list[ServeResult]:
+        n = len(requests)
+        padded = list(requests) + [requests[0]] * (self.q_pad - n)
+
+        ids, mask = self.tokenizer.encode([r.caption for r in padded],
+                                          self.text_len, set_enc_token=True)
+        ref1 = self._ref_feats(padded, self.index.raw_s1,
+                               lambda im: self._embed_image_s1(
+                                   self.s1_params, im))
+        preds = self._fuse_pooled(self.s1_params, ref1, jnp.asarray(ids),
+                                  jnp.asarray(mask))
+        sims, idx = self._topk(self.index.pooled_s1, preds)
+        sims = np.asarray(sims[:n], np.float32)
+        idx = np.asarray(idx[:n])
+
+        results = []
+        names = self.index.names
+        for qi, r in enumerate(requests):
+            ranked = [(names[j], float(s))
+                      for j, s in zip(idx[qi], sims[qi])
+                      if r.reference is None or names[j] != r.reference]
+            ranked = ranked[:r.k]
+            results.append(ServeResult(ranking=[nm for nm, _ in ranked],
+                                       scores=[s for _, s in ranked]))
+
+        if self.reranker is not None:
+            self._rerank_wave(requests, results)
+        return results
+
+    def _rerank_wave(self, requests, results):
+        """Stage-II re-scores each query's top rerank_k candidates in one
+        [q_pad, K] pair-grid call; the tail keeps stage-I order. Requests
+        whose reference is an uploaded image (not a corpus row) keep their
+        stage-I order — z_t fusion needs the reference's corpus features."""
+        rows = [qi for qi, r in enumerate(requests)
+                if r.reference is not None]
+        if not rows:
+            return
+        kk = min(self.rerank_k,
+                 min(len(results[qi].ranking) for qi in rows))
+        if kk < 1:
+            return
+        topk_names = np.asarray(
+            [results[qi].ranking[:kk] for qi in rows], dtype=object)
+        out = rerank(
+            self.stage1, self.s1_params, self.reranker, self.s2_params,
+            self.tokenizer,
+            captions=[requests[qi].caption for qi in rows],
+            reference_names=[requests[qi].reference for qi in rows],
+            topk_names=topk_names,
+            index_feats=self.index.raw_s2, index_names=self.index.names,
+            text_len=self.text_len, q_batch=self.q_pad)
+        for oi, qi in enumerate(rows):
+            res = results[qi]
+            order = out.order[oi]
+            head = [res.ranking[j] for j in order]
+            head_scores = [float(out.logits[oi, j]) for j in order]
+            res.ranking = head + res.ranking[kk:]
+            res.scores = head_scores + res.scores[kk:]
+            res.reranked = kk
+
+
+class MicroBatcher:
+    """Thread-safe request coalescing: concurrent callers block on their own
+    future while a single worker drains the queue in waves of up to q_pad,
+    amortizing one compiled program across them."""
+
+    def __init__(self, engine: CIRServingEngine, window_ms: float = 3.0):
+        self.engine = engine
+        self.window = window_ms / 1000.0
+        self.q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self.worker = threading.Thread(target=self._run, daemon=True)
+        self.worker.start()
+
+    def submit(self, request: ServeRequest) -> ServeResult:
+        ev = threading.Event()
+        slot: dict = {}
+        self.q.put((request, ev, slot))
+        ev.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = self.window
+            while len(batch) < self.engine.q_pad:
+                try:
+                    batch.append(self.q.get(timeout=deadline))
+                except queue.Empty:
+                    break
+            reqs = [b[0] for b in batch]
+            try:
+                results = self.engine.handle(reqs)
+                for (_, ev, slot), res in zip(batch, results):
+                    slot["result"] = res
+                    ev.set()
+            except Exception as e:  # propagate per-request
+                for _, ev, slot in batch:
+                    slot["error"] = e
+                    ev.set()
+
+    def close(self):
+        self._stop.set()
+        self.worker.join(timeout=2)

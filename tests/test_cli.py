@@ -156,3 +156,35 @@ def test_cli_submissions(workdir, capsys):
     # stage-2 global list re-sorts the stage-1 top-k set
     assert set(s2_sub["0"]) == set(
         json.loads(p1.read_text())["0"][:4])
+
+
+def test_text_bucket_helpers():
+    from candidate_reranking_cir_tpu.cli.common import (
+        parse_l_buckets,
+        parse_text_buckets,
+        text_bucket_slice,
+    )
+
+    assert parse_l_buckets("auto") == "auto"
+    assert parse_l_buckets("off") is None
+    assert parse_l_buckets("16,24,40") == (16, 24, 40)
+
+    assert parse_text_buckets("off", 40) == ()
+    assert parse_text_buckets("auto", 40) == (24, 32, 40)
+    assert parse_text_buckets("24,32", 40) == (24, 32, 40)
+    assert parse_text_buckets("64", 40) == (40,)  # > text_len dropped
+
+    ids = np.arange(80, dtype=np.int32).reshape(2, 40)
+    mask = np.zeros((2, 40), np.int32)
+    mask[0, :9] = 1
+    mask[1, :21] = 1  # batch max 21 -> bucket 24
+    i2, m2 = text_bucket_slice(ids, mask, (24, 32, 40))
+    assert i2.shape == (2, 24) and m2.shape == (2, 24)
+    np.testing.assert_array_equal(i2, ids[:, :24])
+    # no buckets: unchanged
+    i3, m3 = text_bucket_slice(ids, mask, ())
+    assert i3.shape == (2, 40)
+    # longest caption exceeds every bucket: full width kept
+    mask[1, :] = 1
+    i4, _ = text_bucket_slice(ids, mask, (24, 32))
+    assert i4.shape == (2, 40)

@@ -391,7 +391,11 @@ def test_candidate_major_fuzz_equals_query_major(models, tokenizer):
             refs.append(index_names[sel[k]])
             groups.append([index_names[i] for i in sel[k:]])
         skip = rng.random(n_q) < 0.3
-        captions = [f"the red dress {q}" for q in range(n_q)]
+        # variable word counts so the auto L-bucketing (l_buckets='auto')
+        # splits queries across text widths; query-major scores everything
+        # at the full text_len bucket — the comparison proves L-invariance
+        captions = [" ".join(["red"] * int(rng.integers(1, 8)))
+                    for _ in range(n_q)]
         kw = dict(captions=captions, reference_names=refs, topk_names=topk,
                   index_feats=feats, index_names=index_names, text_len=10,
                   skip_mask=skip,
@@ -408,3 +412,59 @@ def test_candidate_major_fuzz_equals_query_major(models, tokenizer):
             np.testing.assert_allclose(out_cm.group_logits,
                                        out_qm.group_logits,
                                        rtol=3e-4, atol=3e-4)
+
+
+def test_l_bucket_resolution():
+    from candidate_reranking_cir_tpu.retrieval.rerank import resolve_l_buckets
+
+    lengths = np.asarray([5, 9, 9, 10, 12, 13, 14, 15, 16, 33])
+    assert resolve_l_buckets(None, lengths, 40) == [40]
+    # explicit buckets must still cover the longest query
+    assert resolve_l_buckets((8, 16), lengths, 40) == [8, 16, 40]
+    assert resolve_l_buckets((8, 16, 40), lengths, 40) == [8, 16, 40]
+    # auto: percentile cuts rounded up to multiples of 8, max covered
+    auto = resolve_l_buckets("auto", lengths, 40)
+    assert auto[-1] >= 33 and all(b % 8 == 0 for b in auto)
+    # buckets never exceed text_len
+    assert resolve_l_buckets((64,), lengths, 40) == [40]
+
+
+def test_l_bucketed_scores_match_single_bucket(models, tokenizer):
+    """Mixed-length captions scored through narrow L-buckets equal the
+    single-bucket scores: pad keys are masked additively (-10000 =>
+    exp underflows to 0.0), so scores are invariant to pad width."""
+    import jax.numpy as jnp
+
+    from candidate_reranking_cir_tpu.retrieval.rerank import (
+        rerank_candidate_major,
+    )
+
+    s1, s1_params, s2, s2_params = models
+    rng = np.random.default_rng(5)
+    m_tokens = (IMG // 8) ** 2 + 1
+    n_idx, n_q, k = 14, 6, 3
+    index_names = [f"im{i}" for i in range(n_idx)]
+    feats = jnp.asarray(rng.normal(size=(n_idx, m_tokens, 24)) * 0.1,
+                        jnp.float32)
+    topk = np.empty((n_q, k), object)
+    refs, groups = [], []
+    for q in range(n_q):
+        sel = rng.choice(n_idx, size=k + 6, replace=False)
+        topk[q] = [index_names[i] for i in sel[:k]]
+        refs.append(index_names[sel[k]])
+        groups.append([index_names[i] for i in sel[k:]])
+    captions = [" ".join(["blue"] * w) for w in (1, 2, 5, 9, 3, 7)]
+    kw = dict(captions=captions, reference_names=refs, topk_names=topk,
+              index_feats=feats, index_names=index_names, text_len=12,
+              group_members=groups, pairs_per_call=8, q_buckets=(2, 4),
+              zt_batch=4)
+
+    out_one = rerank_candidate_major(s1, s1_params, s2, s2_params, tokenizer,
+                                     l_buckets=None, **kw)
+    out_bkt = rerank_candidate_major(s1, s1_params, s2, s2_params, tokenizer,
+                                     l_buckets=(8, 12), **kw)
+    np.testing.assert_allclose(out_bkt.logits, out_one.logits,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out_bkt.group_logits, out_one.group_logits,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(out_bkt.order, out_one.order)

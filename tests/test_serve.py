@@ -1,0 +1,208 @@
+"""Serving subsystem tests: engine semantics (reference removal, stage-II
+head re-scoring, uploaded-image references), index cache round-trip, the
+micro-batcher, and the HTTP transport end-to-end on an ephemeral port."""
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from candidate_reranking_cir_tpu.config import (
+    RerankerModelConfig,
+    RetrievalModelConfig,
+    TextEncoderConfig,
+    ViTConfig,
+)
+from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
+from candidate_reranking_cir_tpu.models.tokenizer import (
+    WordPieceTokenizer,
+    build_test_vocab,
+)
+from candidate_reranking_cir_tpu.runtime.serve import (
+    CIRServingEngine,
+    MicroBatcher,
+    ServeRequest,
+    ServingIndex,
+)
+
+IMG = 32
+N = 10
+VIT = ViTConfig(image_size=IMG, patch_size=8, hidden_size=24, num_layers=2,
+                num_heads=4)
+TEXT = TextEncoderConfig(vocab_size=256, hidden_size=24, num_layers=2,
+                         num_heads=4, intermediate_size=48, encoder_width=24,
+                         hidden_dropout=0.0, attention_dropout=0.0,
+                         merge_mlp_from=1)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    import jax.numpy as jnp
+
+    s1_cfg = RetrievalModelConfig(vit=VIT, text=TEXT, embed_dim=16,
+                                  text_len=10)
+    s2_cfg = RerankerModelConfig(vit=VIT, text=TEXT, text_len=10)
+    s1 = RetrievalModel(s1_cfg)
+    s2 = RerankerModel(s2_cfg)
+    imgs = np.zeros((2, IMG, IMG, 3), np.float32)
+    ids = np.ones((2, 10), np.int32)
+    msk = np.ones((2, 10), np.int32)
+    z = np.zeros((2, 10, 24), np.float32)
+    s1_params = s1.init(jax.random.key(0), imgs, ids, msk)
+    s2_params = s2.init(jax.random.key(1), imgs, ids, msk, z)
+    tok = WordPieceTokenizer(build_test_vocab())
+    tok.overflow = "truncate"
+
+    rng = np.random.default_rng(0)
+    names = [f"im{i}" for i in range(N)]
+    m = (IMG // 8) ** 2 + 1
+    raw1 = jnp.asarray(rng.normal(size=(N, m, 24)) * 0.1, jnp.float32)
+    raw2 = jnp.asarray(rng.normal(size=(N, m, 24)) * 0.1, jnp.float32)
+    pooled = rng.normal(size=(N, 16)).astype(np.float32)
+    pooled /= np.linalg.norm(pooled, axis=-1, keepdims=True)
+    index = ServingIndex(names=names, pooled_s1=jnp.asarray(pooled),
+                         raw_s1=raw1, raw_s2=raw2)
+    return s1, s1_params, s2, s2_params, tok, index
+
+
+def make_engine(stack, with_reranker=True, q_pad=3):
+    s1, s1_params, s2, s2_params, tok, index = stack
+    return CIRServingEngine(
+        s1, s1_params, tok, index, text_len=10, q_pad=q_pad,
+        reranker=s2 if with_reranker else None,
+        s2_params=s2_params if with_reranker else None,
+        rerank_k=4, max_k=N)
+
+
+def test_stage1_serving_removes_reference(stack):
+    eng = make_engine(stack, with_reranker=False)
+    res = eng.handle([ServeRequest(caption="red dress",
+                                   reference="im3", k=N)])[0]
+    assert "im3" not in res.ranking
+    assert len(res.ranking) == N - 1
+    assert res.reranked == 0
+    # scores descend (stage-I cosine order)
+    assert res.scores == sorted(res.scores, reverse=True)
+
+
+def test_stage2_head_reranked(stack):
+    eng = make_engine(stack)
+    k = 8
+    res1 = make_engine(stack, with_reranker=False).handle(
+        [ServeRequest(caption="blue shirt", reference="im1", k=k)])[0]
+    res2 = eng.handle([ServeRequest(caption="blue shirt", reference="im1",
+                                    k=k)])[0]
+    assert res2.reranked == 4
+    # head is a permutation of the stage-I head; tail identical
+    assert sorted(res2.ranking[:4]) == sorted(res1.ranking[:4])
+    assert res2.ranking[4:] == res1.ranking[4:]
+    # head scores are re-ranker logits, descending
+    assert res2.scores[:4] == sorted(res2.scores[:4], reverse=True)
+
+
+def test_multi_wave_and_uploaded_reference(stack):
+    eng = make_engine(stack, q_pad=2)
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(IMG, IMG, 3)).astype(np.float32) * 0.3
+    reqs = [ServeRequest(caption=f"cap {i}", reference=f"im{i}", k=5)
+            for i in range(3)]
+    reqs.append(ServeRequest(caption="uploaded", reference=None,
+                             reference_image=img, k=5))
+    out = eng.handle(reqs)  # 4 requests -> 2 waves at q_pad=2
+    assert len(out) == 4
+    for i in range(3):
+        assert f"im{i}" not in out[i].ranking
+        assert out[i].reranked == 4
+    # uploaded reference: full k results, stage-I order only
+    assert len(out[3].ranking) == 5
+    assert out[3].reranked == 0
+
+
+def test_engine_results_independent_of_batching(stack):
+    eng = make_engine(stack, q_pad=4)
+    reqs = [ServeRequest(caption=f"colorful {i}", reference=f"im{i}", k=6)
+            for i in range(4)]
+    batched = eng.handle(reqs)
+    single = [eng.handle([r])[0] for r in reqs]
+    for b, s in zip(batched, single):
+        assert b.ranking == s.ranking
+        np.testing.assert_allclose(b.scores, s.scores, rtol=1e-4, atol=1e-5)
+
+
+def test_index_cache_roundtrip(stack, tmp_path):
+    *_, index = stack
+    p = tmp_path / "index.npz"
+    index.save(p)
+    back = ServingIndex.load(p)
+    assert back.names == index.names
+    np.testing.assert_array_equal(np.asarray(back.pooled_s1),
+                                  np.asarray(index.pooled_s1))
+    # bf16 bit-exact through the uint16 view
+    np.testing.assert_array_equal(
+        np.asarray(back.raw_s1).view(np.uint16),
+        np.asarray(index.raw_s1).view(np.uint16))
+    assert back.raw_s2 is not None
+
+
+def test_micro_batcher_concurrent(stack):
+    eng = make_engine(stack, q_pad=4)
+    eng.warmup()
+    batcher = MicroBatcher(eng, window_ms=20)
+    results = {}
+
+    def call(i):
+        results[i] = batcher.submit(
+            ServeRequest(caption=f"cap {i}", reference=f"im{i}", k=5))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    batcher.close()
+    assert set(results) == set(range(6))
+    for i, res in results.items():
+        assert f"im{i}" not in res.ranking
+        assert len(res.ranking) == 5
+
+
+def test_http_server_end_to_end(stack):
+    from candidate_reranking_cir_tpu.cli.serve import make_http_server
+
+    eng = make_engine(stack)
+    eng.warmup()
+    server = make_http_server(eng, 0, window_ms=5)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health == {"status": "ok", "corpus": N}
+
+        body = json.dumps({"caption": "a red hat", "reference": "im2",
+                           "k": 5}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rank", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["ranking"]) == 5 and "im2" not in out["ranking"]
+        assert out["reranked"] == 4
+
+        # malformed request -> 400 with an error payload
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rank", data=b"{not json",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.batcher.close()

@@ -53,7 +53,9 @@ s2_params = rand_params(
     jax.eval_shape(lambda: s2.init(jax.random.key(0), imgs, ids, msk, z0)),
     jax.random.key(2))
 
-tok = _BenchTokenizer()
+from bench import caption_lengths
+
+tok = _BenchTokenizer(caption_lengths(n_q, L))
 kw = dict(captions=[f"caption {q}" for q in range(n_q)],
           reference_names=refs, topk_names=topk, index_feats=index_feats,
           index_names=index_names, text_len=L, group_members=groups,
