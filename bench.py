@@ -211,14 +211,27 @@ def bench_stage2_train(rtt, iters=4):
     im = s2_cfg.vit.image_size
 
     rng = np.random.default_rng(0)
+    # production default (--text-len-buckets auto): the batch is sliced to
+    # the smallest bucket holding its longest caption, like the reference's
+    # pad-to-longest (blip_stage1.py:72). Sample a realistic batch.
+    from candidate_reranking_cir_tpu.cli.common import (
+        parse_text_buckets,
+        text_bucket_slice,
+    )
+
+    lens = caption_lengths(b, L)
+    ids_np = rng.integers(10, 20000, size=(b, L)).astype(np.int32)
+    mask_np = (np.arange(L)[None, :] < lens[:, None]).astype(np.int32)
+    ids_np, mask_np = text_bucket_slice(ids_np * mask_np, mask_np,
+                                        parse_text_buckets("auto", L))
+    L = ids_np.shape[1]
     batch = {
         "ref_images": jnp.asarray(rng.normal(size=(b, im, im, 3)) * 0.3,
                                   jnp.float32),
         "target_images": jnp.asarray(rng.normal(size=(b, im, im, 3)) * 0.3,
                                      jnp.float32),
-        "input_ids": jnp.asarray(rng.integers(10, 20000, size=(b, L)),
-                                 jnp.int32),
-        "attention_mask": jnp.ones((b, L), jnp.int32),
+        "input_ids": jnp.asarray(ids_np),
+        "attention_mask": jnp.asarray(mask_np),
     }
     s1_params = s1.init(jax.random.key(1), batch["ref_images"][:2],
                         batch["input_ids"][:2], batch["attention_mask"][:2])
@@ -273,15 +286,27 @@ def bench_stage1_train(rtt, iters=2):
     rng = np.random.default_rng(0)
     tgt = rng.normal(size=(b, 256)).astype(np.float32)
     tgt /= np.linalg.norm(tgt, axis=-1, keepdims=True)
+    # production default (--text-len-buckets auto): pad-to-bucket like the
+    # reference's per-batch pad-to-longest
+    from candidate_reranking_cir_tpu.cli.common import (
+        parse_text_buckets,
+        text_bucket_slice,
+    )
+
+    lens = caption_lengths(b, L)
+    ids_np = rng.integers(10, 20000, size=(b, L)).astype(np.int32)
+    mask_np = (np.arange(L)[None, :] < lens[:, None]).astype(np.int32)
+    ids_np, mask_np = text_bucket_slice(ids_np * mask_np, mask_np,
+                                        parse_text_buckets("auto", L))
+    L = ids_np.shape[1]
     batch = {
         "ref_images": jnp.asarray(rng.normal(size=(b, im, im, 3)) * 0.3,
                                   jnp.float32),
         # production default (frozen ViT): pooled target features come from
         # the per-corpus cache, not a second in-step ViT pass
         "target_pooled": jnp.asarray(tgt),
-        "input_ids": jnp.asarray(rng.integers(10, 20000, size=(b, L)),
-                                 jnp.int32),
-        "attention_mask": jnp.ones((b, L), jnp.int32),
+        "input_ids": jnp.asarray(ids_np),
+        "attention_mask": jnp.asarray(mask_np),
     }
     params = model.init(jax.random.key(0), batch["ref_images"][:2],
                         batch["input_ids"][:2], batch["attention_mask"][:2])

@@ -167,6 +167,8 @@ def make_http_server(engine, port: int, window_ms: float):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok",
                                  "corpus": len(engine.index.names)})
+            elif self.path == "/statsz":
+                self._send(200, batcher.stats())
             else:
                 self._send(404, {"error": "not found"})
 

@@ -441,6 +441,10 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
     logits = np.full((n, k), SKIP_LOGIT, np.float32)
     grp_logits = np.zeros((n, 5), np.float32) if do_groups else None
     shard_size = index_feats.shape[0] // n_dev if index_sharded else 0
+    # (device scores, scatter metadata) per dispatched scan: every bucket's
+    # program is dispatched asynchronously and fetched only at the end, so
+    # host-side scheduling of later buckets overlaps device compute
+    pending: list[tuple] = []
 
     lengths = mask_all.sum(axis=1).astype(np.int32)
     lbs = resolve_l_buckets(l_buckets, lengths, text_len)
@@ -576,15 +580,18 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
                 rows_dev = jax.device_put(
                     rows_dev, NamedSharding(mesh, P(None, "data", None)))
                 cands_dev = jax.device_put(cands_dev, shard_a)
-            scores = np.asarray(
+            pending.append((
                 bucket_scan(s2_params, zt_all, ids_dev, mask_dev,
-                            index_feats, rows_dev, cands_dev), np.float32)
+                            index_feats, rows_dev, cands_dev),
+                valid, qrow, kind, col))
 
-            tk = valid & (kind == 0)
-            logits[qrow[tk], col[tk]] = scores[tk]
-            if do_groups:
-                gp = valid & (kind == 1)
-                grp_logits[qrow[gp], col[gp]] = scores[gp]
+    for scores_dev, valid, qrow, kind, col in pending:
+        scores = np.asarray(scores_dev, np.float32)
+        tk = valid & (kind == 0)
+        logits[qrow[tk], col[tk]] = scores[tk]
+        if do_groups:
+            gp = valid & (kind == 1)
+            grp_logits[qrow[gp], col[gp]] = scores[gp]
 
     rank_order = np.argsort(-logits, axis=-1, kind="stable")
     group_order = (np.argsort(-grp_logits, axis=-1, kind="stable")

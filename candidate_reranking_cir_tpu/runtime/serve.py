@@ -261,14 +261,45 @@ class MicroBatcher:
         self.window = window_ms / 1000.0
         self.q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._requests = 0
+        self._waves = 0
+        self._errors = 0
+        self._latencies: list[float] = []  # rolling, last 1024
         self.worker = threading.Thread(target=self._run, daemon=True)
         self.worker.start()
 
+    def stats(self) -> dict:
+        """Serving counters: totals, wave occupancy, latency percentiles
+        (seconds, over the last 1024 requests)."""
+        with self._lock:
+            lats = sorted(self._latencies)
+            n = len(lats)
+            pct = (lambda p: lats[min(int(p * n), n - 1)]) if n else \
+                (lambda p: 0.0)
+            return {
+                "requests": self._requests,
+                "waves": self._waves,
+                "errors": self._errors,
+                "mean_wave_occupancy": round(
+                    self._requests / self._waves, 3) if self._waves else 0.0,
+                "latency_p50_s": round(pct(0.50), 4),
+                "latency_p95_s": round(pct(0.95), 4),
+                "latency_p99_s": round(pct(0.99), 4),
+            }
+
     def submit(self, request: ServeRequest) -> ServeResult:
+        import time
+
+        t0 = time.perf_counter()
         ev = threading.Event()
         slot: dict = {}
         self.q.put((request, ev, slot))
         ev.wait()
+        with self._lock:
+            self._latencies.append(time.perf_counter() - t0)
+            if len(self._latencies) > 1024:
+                del self._latencies[:512]
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
@@ -287,12 +318,17 @@ class MicroBatcher:
                 except queue.Empty:
                     break
             reqs = [b[0] for b in batch]
+            with self._lock:
+                self._requests += len(reqs)
+                self._waves += 1
             try:
                 results = self.engine.handle(reqs)
                 for (_, ev, slot), res in zip(batch, results):
                     slot["result"] = res
                     ev.set()
             except Exception as e:  # propagate per-request
+                with self._lock:
+                    self._errors += len(reqs)
                 for _, ev, slot in batch:
                     slot["error"] = e
                     ev.set()

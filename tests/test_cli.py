@@ -188,3 +188,78 @@ def test_text_bucket_helpers():
     mask[1, :] = 1
     i4, _ = text_bucket_slice(ids, mask, (24, 32))
     assert i4.shape == (2, 40)
+
+
+def test_parity_ladder_self_consistent(workdir, tmp_path, capsys):
+    """Drive the full parity ladder against self-generated 'reference'
+    artifacts: our own top-k file and golden-named submissions. Every rung
+    must PASS (the ladder is the round-3 gate for real published weights;
+    this proves the orchestration + comparisons work end-to-end)."""
+    from candidate_reranking_cir_tpu.cli import (
+        cirr_test_submission,
+        parity_ladder,
+        validate,
+    )
+
+    # "reference" artifacts from the same tiny model: top-k file + goldens
+    ref_topk = tmp_path / "ref_top_8_val.npz"
+    validate.main(_common(workdir) + [
+        "--stage1-path", str(workdir / "ckpt_s1"),
+        "--save-topk", "--k", "8", "--topk-out", str(ref_topk),
+        "--batch-size", "4"])
+    goldens = tmp_path / "goldens"
+    goldens.mkdir()
+    test1_topk = tmp_path / "ref_top_8_test1.npz"
+    cirr_test_submission.main(_common(workdir) + [
+        "--stage1-path", str(workdir / "ckpt_s1"),
+        "--submission-name", "stage1_0", "--out-dir", str(goldens),
+        "--save-topk", "--k", "8", "--topk-out", str(test1_topk),
+        "--batch-size", "4"])
+    from candidate_reranking_cir_tpu.cli import cirr_test_submission_stage2
+
+    cirr_test_submission_stage2.main(_common(workdir) + [
+        "--stage1-path", str(workdir / "ckpt_s1"),
+        "--stage2-path", str(workdir / "ckpt_s2"),
+        "--top-k-path", str(test1_topk), "--K-value", "4",
+        "--submission-name", "stage2_0", "--out-dir", str(goldens),
+        "--batch-size", "4"])
+
+    ladder_args = _common(workdir) + [
+        "--stage1-ckpt", str(workdir / "ckpt_s1"),
+        "--stage2-ckpt", str(workdir / "ckpt_s2"),
+        "--reference-topk", str(ref_topk),
+        "--goldens-dir", str(goldens),
+        "--k-extract", "8", "--K-value", "4", "--batch-size", "4",
+        "--report", str(tmp_path / "report.json"),
+        "--work-dir", str(tmp_path / "work")]
+    with pytest.raises(SystemExit) as e:
+        parity_ladder.main(ladder_args)
+    assert e.value.code == 0
+    report = json.loads((tmp_path / "report.json").read_text())
+    by_name = {r["rung"]: r for r in report["rungs"]}
+    for rung in ("convert_stage1", "convert_stage2", "stage1_val",
+                 "topk_vs_reference", "stage2_val", "golden_submissions"):
+        assert by_name[rung]["status"] == "pass", by_name[rung]
+    assert by_name["expected_metrics"]["status"] == "skip"
+    assert by_name["topk_vs_reference"]["identical"] is True
+
+    # second run with --expected fed from the first run's own metrics
+    expected = {k: v for k, v in by_name["stage1_val"].items()
+                if k not in ("rung", "status")}
+    exp_path = tmp_path / "expected.json"
+    exp_path.write_text(json.dumps(expected))
+    with pytest.raises(SystemExit) as e:
+        parity_ladder.main(ladder_args + ["--expected", str(exp_path)])
+    assert e.value.code == 0
+    report2 = json.loads((tmp_path / "report.json").read_text())
+    by_name2 = {r["rung"]: r for r in report2["rungs"]}
+    assert by_name2["expected_metrics"]["status"] == "pass"
+
+    # a wrong published number must FAIL the ladder (nonzero exit)
+    expected_bad = dict(expected)
+    first_key = next(iter(expected_bad))
+    expected_bad[first_key] = expected_bad[first_key] + 5.0
+    exp_path.write_text(json.dumps(expected_bad))
+    with pytest.raises(SystemExit) as e:
+        parity_ladder.main(ladder_args + ["--expected", str(exp_path)])
+    assert e.value.code == 1

@@ -162,11 +162,15 @@ def test_micro_batcher_concurrent(stack):
         t.start()
     for t in threads:
         t.join(timeout=120)
+    stats = batcher.stats()
     batcher.close()
     assert set(results) == set(range(6))
     for i, res in results.items():
         assert f"im{i}" not in res.ranking
         assert len(res.ranking) == 5
+    assert stats["requests"] == 6 and stats["errors"] == 0
+    assert 1 <= stats["waves"] <= 6
+    assert stats["latency_p99_s"] >= stats["latency_p50_s"] > 0
 
 
 def test_http_server_end_to_end(stack):
@@ -183,6 +187,11 @@ def test_http_server_end_to_end(stack):
                 f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
             health = json.loads(r.read())
         assert health == {"status": "ok", "corpus": N}
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/statsz", timeout=30) as r:
+            stats0 = json.loads(r.read())
+        assert stats0["requests"] == 0
 
         body = json.dumps({"caption": "a red hat", "reference": "im2",
                            "k": 5}).encode()
