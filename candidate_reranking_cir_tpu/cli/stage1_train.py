@@ -107,7 +107,10 @@ def tokenize_batch(tokenizer, captions, text_len):
 
 
 def main(argv=None):
-    from candidate_reranking_cir_tpu.runtime.host import limit_numpy_threads
+    from candidate_reranking_cir_tpu.runtime.host import (
+        GracefulShutdown,
+        limit_numpy_threads,
+    )
 
     limit_numpy_threads()
     args = parse_args(argv)
@@ -197,6 +200,7 @@ def main(argv=None):
         tgt_pos = {nm: i for i, nm in enumerate(names)}
 
     best_metric = -1.0
+    stop = GracefulShutdown()
     with jax.set_mesh(mesh):
         state = shard_state(mesh, state, args.fsdp)
         for epoch in range(start_epoch, args.num_epochs):
@@ -224,6 +228,18 @@ def main(argv=None):
                 running_loss += loss * ids.shape[0]
                 seen += ids.shape[0]
                 comet.log_metric("step_loss", loss, step=int(state.step))
+                if stop.requested:
+                    break
+            if stop.requested:  # preemption: save a resumable state, exit 0
+                # epoch-1: the interrupted epoch is incomplete, so resume
+                # must re-run it (try_resume starts at metadata epoch + 1)
+                save_checkpoint(
+                    training_path / "saved_models" / "blip_last", state,
+                    metadata={"epoch": epoch - 1})
+                print(f"preempted ({stop.signal_name}) at epoch {epoch}: "
+                      "resumable checkpoint saved; restart with --resume")
+                stop.restore()
+                return
             epoch_loss = running_loss / max(seen, 1)
             lr = float(schedule(epoch * steps_per_epoch))
             print(f"[epoch {epoch}] loss={epoch_loss:.4f} lr={lr:.2e} "
@@ -237,6 +253,7 @@ def main(argv=None):
                 metrics, best_metric = run_validation(
                     args, model, state, tokenizer, transform, dataset_name,
                     epoch, logger, comet, best_metric, training_path)
+    stop.restore()
     print("training done")
 
 

@@ -92,7 +92,10 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
-    from candidate_reranking_cir_tpu.runtime.host import limit_numpy_threads
+    from candidate_reranking_cir_tpu.runtime.host import (
+        GracefulShutdown,
+        limit_numpy_threads,
+    )
 
     limit_numpy_threads()
     args = parse_args(argv)
@@ -154,6 +157,7 @@ def main(argv=None):
     text_buckets = parse_text_buckets(args.text_len_buckets, args.text_len)
 
     best_metric = -1.0
+    stop = GracefulShutdown()
     with jax.set_mesh(mesh):
         state = shard_state(mesh, state, args.fsdp)
         s1_params_dev = jax.device_put(s1_params, replicated(mesh))
@@ -177,6 +181,18 @@ def main(argv=None):
                 running_loss += loss * ids.shape[0]
                 seen += ids.shape[0]
                 comet.log_metric("step_loss", loss, step=int(state.step))
+                if stop.requested:
+                    break
+            if stop.requested:  # preemption: save a resumable state, exit 0
+                # epoch-1: the interrupted epoch is incomplete, so resume
+                # must re-run it (try_resume starts at metadata epoch + 1)
+                save_checkpoint(
+                    training_path / "saved_models" / "blip_last", state,
+                    metadata={"epoch": epoch - 1})
+                print(f"preempted ({stop.signal_name}) at epoch {epoch}: "
+                      "resumable checkpoint saved; restart with --resume")
+                stop.restore()
+                return
             epoch_loss = running_loss / max(seen, 1)
             print(f"[epoch {epoch}] loss={epoch_loss:.4f} "
                   f"lr={float(schedule(epoch * steps_per_epoch)):.2e} "
@@ -190,6 +206,7 @@ def main(argv=None):
                     args, stage1, s1_params, reranker, state, tokenizer,
                     transform, dataset_name, epoch, logger, comet,
                     best_metric, training_path)
+    stop.restore()
     print("training done")
 
 

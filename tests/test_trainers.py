@@ -162,3 +162,48 @@ def test_stage1_cached_targets_matches_uncached(root, capsys):
     loss_cached = run([], "cache_on")
     loss_plain = run(["--no-cache-target-features"], "cache_off")
     assert abs(loss_cached - loss_plain) < 5e-4, (loss_cached, loss_plain)
+
+
+def test_stage1_trainer_preemption_saves_resumable(root, capsys,
+                                                   monkeypatch):
+    """SIGTERM mid-training: the trainer finishes its current step, saves a
+    resumable blip_last, and returns cleanly; --resume then re-runs the
+    interrupted epoch. The signal is delivered deterministically from inside
+    the first step's metric callback (handler runs on the next main-thread
+    bytecode boundary, i.e. still mid-epoch)."""
+    import os
+    import signal
+
+    from candidate_reranking_cir_tpu.cli import stage1_train
+    from candidate_reranking_cir_tpu.runtime.logging import CometStub
+
+    class KillerComet(CometStub):
+        steps = 0
+
+        def log_metric(self, name, *a, **k):
+            if name == "step_loss":
+                KillerComet.steps += 1
+                if KillerComet.steps == 1:
+                    os.kill(os.getpid(), signal.SIGTERM)
+
+    monkeypatch.setattr(stage1_train, "make_comet",
+                        lambda *a, **k: KillerComet())
+    out_dir = root / "models_preempt"
+    args = _common(root) + [
+        "--experiment-name", "tp", "--output-dir", str(out_dir),
+        "--num-epochs", "2", "--batch-size", "4", "--blip-max-epoch", "2",
+        "--validation-frequency", "100"]
+
+    stage1_train.main(args)  # returns instead of dying
+    text = capsys.readouterr().out
+    assert "preempted (SIGTERM) at epoch 0" in text
+    assert "[epoch 0] loss=" not in text  # interrupted before epoch end
+    assert (out_dir / "tp" / "saved_models" / "blip_last").exists()
+
+    monkeypatch.setattr(stage1_train, "make_comet",
+                        lambda *a, **k: CometStub())
+    stage1_train.main(args + ["--resume", "--num-epochs", "1"])
+    text = capsys.readouterr().out
+    # the interrupted epoch 0 is re-run, not skipped
+    assert "resumed from" in text and "at epoch 0" in text
+    assert "[epoch 0] loss=" in text
