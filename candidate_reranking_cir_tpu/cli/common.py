@@ -210,6 +210,26 @@ def get_tokenizer(args):
     return tok
 
 
+def prescan_captions(tokenizer, dataset, text_len: int, dataset_name: str):
+    """Apply the caption-overflow policy to the WHOLE train split before the
+    first step. All captions are known up front, so with the default
+    overflow='error' an over-long caption aborts at startup with the full
+    count — not hours into an epoch when the unlucky batch is tokenized
+    (which would discard progress since the last checkpoint). For Fashion-IQ
+    the longest random compositions (both two-caption orders) are scanned."""
+    if dataset_name == "cirr":
+        caps = [t["caption"] for t in dataset.triplets]
+    else:
+        from candidate_reranking_cir_tpu.data.captions import (
+            fiq_longest_compositions,
+        )
+
+        caps = fiq_longest_compositions(
+            [t["captions"] for t in dataset.triplets])
+    if caps:
+        tokenizer.encode(caps, text_len)
+
+
 def print_metrics(metrics: dict):
     for k, v in metrics.items():
         print(f"{k} = {v:.2f}")

@@ -65,6 +65,7 @@ def make_engine(args):
         CIRServingEngine,
         ServingIndex,
         build_serving_index,
+        params_fingerprint,
     )
     from pathlib import Path
 
@@ -77,8 +78,17 @@ def make_engine(args):
     tokenizer = get_tokenizer(args)
     transform = get_transform(args)
 
+    fingerprint = {
+        "dataset": args.dataset.lower(), "split": args.split,
+        "image_size": args.image_size, "transform": args.transform,
+        "target_ratio": args.target_ratio,
+        "stage1": params_fingerprint(s1_params),
+        "stage2": params_fingerprint(s2_params) if s2_params is not None
+        else None,
+    }
     if args.index_cache and Path(args.index_cache).exists():
-        index = ServingIndex.load(args.index_cache)
+        index = ServingIndex.load(args.index_cache,
+                                  expect_fingerprint=fingerprint)
         if reranker is not None and index.raw_s2 is None:
             raise ValueError(f"{args.index_cache} has no stage-II features; "
                              "rebuild it with --stage2-path set")
@@ -94,6 +104,7 @@ def make_engine(args):
         index = build_serving_index(stage1, s1_params, classic,
                                     reranker=reranker, s2_params=s2_params,
                                     batch_size=args.batch_size)
+        index.fingerprint = fingerprint
         if args.index_cache:
             index.save(args.index_cache)
             print(f"index cached at {args.index_cache}", file=sys.stderr)
@@ -110,6 +121,11 @@ def make_engine(args):
 def request_from_json(engine, obj):
     from candidate_reranking_cir_tpu.runtime.serve import ServeRequest
 
+    if not isinstance(obj, dict) or not obj.get("caption"):
+        raise ValueError('request must be a JSON object with a "caption"')
+    if not obj.get("reference") and not obj.get("reference_path"):
+        raise ValueError('request needs "reference" (a corpus image name) '
+                         'or "reference_path" (an image file)')
     ref_img = None
     if obj.get("reference_path"):
         from PIL import Image

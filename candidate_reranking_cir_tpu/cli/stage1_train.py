@@ -24,6 +24,7 @@ from candidate_reranking_cir_tpu.cli.common import (
     get_transform,
     load_params,
     parse_text_buckets,
+    prescan_captions,
     print_metrics,
     text_bucket_slice,
 )
@@ -149,6 +150,7 @@ def main(argv=None):
     loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
                          seed=args.seed, workers=8)
     steps_per_epoch = max(len(loader), 1)
+    prescan_captions(tokenizer, train_ds, args.text_len, dataset_name)
 
     # params: pretrained BLIP or fresh init
     if args.pretrained:
@@ -167,10 +169,14 @@ def main(argv=None):
 
     mesh = make_mesh_for_batch(args.batch_size)
     training_path = Path(args.output_dir) / args.experiment_name
-    start_epoch = 0
+    start_epoch, skip_batches = 0, 0
     if args.resume:
-        state, start_epoch = try_resume(
-            training_path / "saved_models" / "blip_last", state)
+        state, start_epoch, skip_batches = try_resume(
+            training_path / "saved_models" / "blip_last", state,
+            with_skip=True)
+    # per-epoch shuffle order is seed+epoch; align the loader's counter so a
+    # resumed run sees the same batch order the original run would have
+    loader.epoch = start_epoch
     logger = MetricsLogger(training_path, args.experiment_name,
                            vars(args))
     comet = make_comet(args.api_key or None, args.workspace or None,
@@ -205,8 +211,10 @@ def main(argv=None):
         state = shard_state(mesh, state, args.fsdp)
         for epoch in range(start_epoch, args.num_epochs):
             t0 = time.time()
-            running_loss, seen = 0.0, 0
-            for batch in prefetch(iter(loader), 2):
+            running_loss, seen, steps_done = 0.0, 0, 0
+            for bi, batch in enumerate(prefetch(iter(loader), 2)):
+                if epoch == start_epoch and bi < skip_batches:
+                    continue  # already applied before the preemption
                 captions = batch["caption"] if dataset_name == "cirr" else \
                     compose_fiq_train(batch["captions"], rng)
                 ids, mask = tokenize_batch(tokenizer, captions, args.text_len)
@@ -227,15 +235,18 @@ def main(argv=None):
                 loss = float(loss)
                 running_loss += loss * ids.shape[0]
                 seen += ids.shape[0]
+                steps_done = bi + 1
                 comet.log_metric("step_loss", loss, step=int(state.step))
                 if stop.requested:
                     break
             if stop.requested:  # preemption: save a resumable state, exit 0
-                # epoch-1: the interrupted epoch is incomplete, so resume
-                # must re-run it (try_resume starts at metadata epoch + 1)
+                # epoch-1 re-enters the interrupted epoch; skip_batches skips
+                # the steps already inside the optimizer state, so nothing is
+                # double-applied and the step-indexed LR schedule stays exact
                 save_checkpoint(
                     training_path / "saved_models" / "blip_last", state,
-                    metadata={"epoch": epoch - 1})
+                    metadata={"epoch": epoch - 1,
+                              "skip_batches": steps_done})
                 print(f"preempted ({stop.signal_name}) at epoch {epoch}: "
                       "resumable checkpoint saved; restart with --resume")
                 stop.restore()
@@ -257,8 +268,16 @@ def main(argv=None):
     print("training done")
 
 
-def try_resume(path, state):
-    """Restore a full TrainState + next epoch from an Orbax checkpoint."""
+def try_resume(path, state, with_skip: bool = False):
+    """Restore a full TrainState + next epoch from an Orbax checkpoint.
+
+    with_skip=True also returns the number of already-applied batches to
+    skip inside the first resumed epoch (recorded by mid-epoch preemption
+    saves): the optimizer state contains those steps, so re-running them
+    would double-apply those batches and shift the step-indexed LR schedule.
+    Batch order is deterministic per (seed, epoch), so skipping reproduces
+    the un-preempted run exactly (modulo the skipped batches' host decode).
+    """
     import json
 
     from candidate_reranking_cir_tpu.runtime.checkpoint import (
@@ -268,16 +287,20 @@ def try_resume(path, state):
     path = Path(path)
     if not path.exists():
         print(f"no checkpoint at {path}; starting fresh")
-        return state, 0
+        return (state, 0, 0) if with_skip else (state, 0)
     restored = restore_checkpoint(path, state)
     state = state.replace(step=restored["step"], params=restored["params"],
                           opt_state=restored["opt_state"])
     meta = path / "framework_metadata.json"
-    epoch = 0
+    epoch, skip = 0, 0
     if meta.exists():
-        epoch = json.loads(meta.read_text()).get("epoch", -1) + 1
-    print(f"resumed from {path} at epoch {epoch} (step {int(state.step)})")
-    return state, epoch
+        md = json.loads(meta.read_text())
+        epoch = md.get("epoch", -1) + 1
+        skip = int(md.get("skip_batches", 0))
+    extra = f", skipping {skip} already-applied batches" if skip else ""
+    print(f"resumed from {path} at epoch {epoch} "
+          f"(step {int(state.step)}){extra}")
+    return (state, epoch, skip) if with_skip else (state, epoch)
 
 
 def run_validation(args, model, state, tokenizer, transform, dataset_name,

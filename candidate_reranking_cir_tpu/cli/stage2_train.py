@@ -22,6 +22,7 @@ from candidate_reranking_cir_tpu.cli.common import (
     get_transform,
     load_params,
     parse_text_buckets,
+    prescan_captions,
     print_metrics,
     text_bucket_slice,
 )
@@ -133,18 +134,23 @@ def main(argv=None):
     loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
                          seed=args.seed)
     steps_per_epoch = max(len(loader), 1)
+    prescan_captions(tokenizer, train_ds, args.text_len, dataset_name)
 
     tx, schedule = make_optimizer(train_cfg, s2_params, steps_per_epoch)
     state = TrainState.create(s2_params, tx)
 
     mesh = make_mesh_for_batch(args.batch_size)
     training_path = Path(args.output_dir) / args.experiment_name
-    start_epoch = 0
+    start_epoch, skip_batches = 0, 0
     if args.resume:
         from candidate_reranking_cir_tpu.cli.stage1_train import try_resume
 
-        state, start_epoch = try_resume(
-            training_path / "saved_models" / "blip_last", state)
+        state, start_epoch, skip_batches = try_resume(
+            training_path / "saved_models" / "blip_last", state,
+            with_skip=True)
+    # per-epoch shuffle order is seed+epoch; align the loader's counter so a
+    # resumed run sees the same batch order the original run would have
+    loader.epoch = start_epoch
     logger = MetricsLogger(training_path, args.experiment_name, vars(args))
     comet = make_comet(args.api_key or None, args.workspace or None,
                        f"cir-stage2-{dataset_name}", args.experiment_name)
@@ -163,8 +169,10 @@ def main(argv=None):
         s1_params_dev = jax.device_put(s1_params, replicated(mesh))
         for epoch in range(start_epoch, args.num_epochs):
             t0 = time.time()
-            running_loss, seen = 0.0, 0
-            for batch in prefetch(iter(loader), 2):
+            running_loss, seen, steps_done = 0.0, 0, 0
+            for bi, batch in enumerate(prefetch(iter(loader), 2)):
+                if epoch == start_epoch and bi < skip_batches:
+                    continue  # already applied before the preemption
                 captions = batch["caption"] if dataset_name == "cirr" else \
                     compose_fiq_train(batch["captions"], rng)
                 ids, mask = tokenizer.encode(captions, args.text_len,
@@ -180,15 +188,18 @@ def main(argv=None):
                 loss = float(loss)
                 running_loss += loss * ids.shape[0]
                 seen += ids.shape[0]
+                steps_done = bi + 1
                 comet.log_metric("step_loss", loss, step=int(state.step))
                 if stop.requested:
                     break
             if stop.requested:  # preemption: save a resumable state, exit 0
-                # epoch-1: the interrupted epoch is incomplete, so resume
-                # must re-run it (try_resume starts at metadata epoch + 1)
+                # epoch-1 re-enters the interrupted epoch; skip_batches skips
+                # the steps already inside the optimizer state, so nothing is
+                # double-applied and the step-indexed LR schedule stays exact
                 save_checkpoint(
                     training_path / "saved_models" / "blip_last", state,
-                    metadata={"epoch": epoch - 1})
+                    metadata={"epoch": epoch - 1,
+                              "skip_batches": steps_done})
                 print(f"preempted ({stop.signal_name}) at epoch {epoch}: "
                       "resumable checkpoint saved; restart with --resume")
                 stop.restore()

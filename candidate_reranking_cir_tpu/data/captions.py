@@ -36,3 +36,15 @@ def compose_fiq_train(captions: list[list[str]],
         else:
             out.append(f"{_clean(c2).capitalize()}")
     return out
+
+
+def fiq_longest_compositions(captions: list[list[str]]) -> list[str]:
+    """Both two-caption orders — the longest strings compose_fiq_train can
+    emit. Used to apply the text-bucket overflow policy to the whole train
+    split BEFORE training starts, so an over-long caption fails at startup
+    rather than hours into an epoch."""
+    out = []
+    for c1, c2 in captions:
+        out.append(f"{_clean(c1).capitalize()} and {_clean(c2)}")
+        out.append(f"{_clean(c2).capitalize()} and {_clean(c1)}")
+    return out

@@ -20,10 +20,12 @@ def limit_numpy_threads(n: int = 8) -> None:
 class GracefulShutdown:
     """Preemption handling for trainers: SIGTERM/SIGINT set a flag instead of
     killing the process, so the train loop finishes its current step, saves a
-    resumable checkpoint, and exits cleanly. TPU pods are routinely preempted;
-    the reference has no recovery path (SURVEY.md section 5) — here
-    `--resume` restarts from the last saved train state, so a preempted run
-    loses at most one step plus the save interval.
+    resumable checkpoint (including the count of batches already applied in
+    the interrupted epoch), and exits cleanly. TPU pods are routinely
+    preempted; the reference has no recovery path (SURVEY.md section 5) —
+    here `--resume` restores the full train state and skips the
+    already-applied batches, so a preempted run loses nothing: no batch is
+    double-applied and the step-indexed LR schedule stays exact.
 
     Usage:
         stop = GracefulShutdown()

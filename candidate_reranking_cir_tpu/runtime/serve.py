@@ -48,13 +48,33 @@ class ServeResult:
     reranked: int = 0   # how many head entries were stage-II re-scored
 
 
+def params_fingerprint(params) -> str:
+    """Cheap content fingerprint of a parameter tree (leaf count, total
+    size, float64 checksum) — guards index caches against serving rankings
+    from stale weights."""
+    leaves = jax.tree_util.tree_leaves(params)
+    total = 0.0
+    size = 0
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        size += a.size
+        if np.issubdtype(a.dtype, np.floating):
+            total += float(a.astype(np.float64).sum())
+    return f"{len(leaves)}:{size}:{total:.6e}"
+
+
 @dataclass
 class ServingIndex:
-    """Device-resident corpus banks. ``raw_s2`` only when stage-II serves."""
+    """Device-resident corpus banks. ``raw_s2`` only when stage-II serves.
+
+    ``fingerprint`` records what produced the index (checkpoint checksums,
+    dataset/split/transform); the cache loader refuses a mismatched cache
+    instead of silently ranking against stale embeddings."""
     names: list[str]
     pooled_s1: jax.Array          # [N, E] fp32
     raw_s1: jax.Array             # [N, M, W] bf16 (reference-image fusion)
     raw_s2: jax.Array | None = None  # [N, M, W] bf16 (stage-II ViT)
+    fingerprint: dict | None = None
     pos: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -63,25 +83,46 @@ class ServingIndex:
 
     def save(self, path):
         """npz cache; bf16 stored as a uint16 bit view (npz has no bf16)."""
+        import json
+
         arrs = {
             "names": np.asarray(self.names, dtype=object),
             "pooled_s1": np.asarray(self.pooled_s1, np.float32),
             "raw_s1": np.asarray(self.raw_s1).view(np.uint16),
+            "fingerprint": np.asarray(json.dumps(self.fingerprint or {})),
         }
         if self.raw_s2 is not None:
             arrs["raw_s2"] = np.asarray(self.raw_s2).view(np.uint16)
         np.savez(path, **arrs)
 
     @classmethod
-    def load(cls, path):
+    def load(cls, path, expect_fingerprint: dict | None = None):
+        """expect_fingerprint: when given, every key present in BOTH dicts
+        must match, else ValueError — a cache built from different weights,
+        split, or preprocessing must never silently serve."""
+        import json
+
         import ml_dtypes
 
         z = np.load(path, allow_pickle=True)
         bf16 = lambda a: jnp.asarray(a.view(ml_dtypes.bfloat16))
+        stored = (json.loads(str(z["fingerprint"]))
+                  if "fingerprint" in z else {})
+        if expect_fingerprint:
+            bad = {k: (stored.get(k), v) for k, v in
+                   expect_fingerprint.items()
+                   if k in stored and stored[k] != v}
+            if bad or not stored:
+                raise ValueError(
+                    f"index cache {path} does not match the current "
+                    f"configuration (mismatched: {sorted(bad)} or no "
+                    "fingerprint recorded) — delete it or point "
+                    "--index-cache elsewhere to rebuild")
         return cls(names=[str(n) for n in z["names"]],
                    pooled_s1=jnp.asarray(z["pooled_s1"]),
                    raw_s1=bf16(z["raw_s1"]),
-                   raw_s2=bf16(z["raw_s2"]) if "raw_s2" in z else None)
+                   raw_s2=bf16(z["raw_s2"]) if "raw_s2" in z else None,
+                   fingerprint=stored or None)
 
 
 def build_serving_index(stage1, s1_params, classic_dataset, *,
@@ -134,7 +175,9 @@ class CIRServingEngine:
         self.q_pad = q_pad
         self.reranker = reranker
         self.s2_params = s2_params
-        self.rerank_k = rerank_k
+        # static stage-II depth: one compiled [q_pad, K] grid regardless of
+        # which requests share a wave (per-request k only trims the output)
+        self.rerank_k = min(rerank_k, max(1, len(index.names) - 1))
         # +1 head-room so removing the reference still leaves max_k results
         self.max_k = min(max_k + 1, len(index.names))
 
@@ -163,27 +206,50 @@ class CIRServingEngine:
             self._embed_image_s2 = embed_image_s2
 
     def warmup(self):
-        """Compile every serving program before traffic arrives."""
+        """Compile every serving program before traffic arrives — at the
+        production shapes: the full-depth ranking AND the [q_pad, rerank_k]
+        stage-II grid, so the first real request pays no XLA compile."""
         req = ServeRequest(caption="warm up", reference=self.index.names[0],
-                           k=min(10, len(self.index.names) - 1))
+                           k=len(self.index.names) - 1)
         self.handle([req])
 
     # ---- internals ---------------------------------------------------------
 
+    def _validate(self, r: ServeRequest):
+        """Fail fast with actionable messages (one bad request must not cost
+        its wave-mates anything — see MicroBatcher's per-request retry)."""
+        if not r.caption or not isinstance(r.caption, str):
+            raise ValueError("caption (non-empty string) is required")
+        if r.reference is None and r.reference_image is None:
+            raise ValueError("either reference (a corpus image name) or "
+                             "reference_path/reference_image is required")
+        if r.reference is not None and r.reference not in self.index.pos:
+            raise ValueError(f"unknown reference {r.reference!r}: not in the "
+                             f"indexed corpus ({len(self.index.names)} "
+                             "images)")
+        if r.k < 1:
+            raise ValueError(f"k must be >= 1, got {r.k}")
+
     def _ref_feats(self, requests, bank, embed_fn):
         """[B, M, W] reference features: corpus rows by name, or on-the-fly
-        embeds for requests carrying a new image."""
+        embeds for requests carrying a new image (memoized per request, so
+        wave padding never recomputes a ViT forward)."""
         feats = []
+        embed_cache: dict[int, jax.Array] = {}
         for r in requests:
             if r.reference_image is not None:
-                img = jnp.asarray(r.reference_image)[None]
-                feats.append(embed_fn(img)[0].astype(bank.dtype))
+                if id(r) not in embed_cache:
+                    img = jnp.asarray(r.reference_image)[None]
+                    embed_cache[id(r)] = embed_fn(img)[0].astype(bank.dtype)
+                feats.append(embed_cache[id(r)])
             else:
                 feats.append(jnp.take(bank, self.index.pos[r.reference],
                                       axis=0))
         return jnp.stack(feats)
 
     def handle(self, requests: list[ServeRequest]) -> list[ServeResult]:
+        for r in requests:
+            self._validate(r)
         out: list[ServeResult] = []
         for start in range(0, len(requests), self.q_pad):
             out.extend(self._handle_wave(requests[start:start + self.q_pad]))
@@ -219,20 +285,23 @@ class CIRServingEngine:
         return results
 
     def _rerank_wave(self, requests, results):
-        """Stage-II re-scores each query's top rerank_k candidates in one
-        [q_pad, K] pair-grid call; the tail keeps stage-I order. Requests
-        whose reference is an uploaded image (not a corpus row) keep their
-        stage-I order — z_t fusion needs the reference's corpus features."""
+        """Stage-II re-scores each query's head in ONE [q_pad, rerank_k]
+        pair-grid call (static shape — a co-batched small-k request never
+        changes the compiled program or another request's re-rank depth);
+        the tail keeps stage-I order. Per-request depth is
+        min(rerank_k, len(ranking)); shorter rows are padded with their last
+        candidate and the padded scores are discarded. Requests whose
+        reference is an uploaded image (not a corpus row) keep their stage-I
+        order — z_t fusion needs the reference's corpus features."""
         rows = [qi for qi, r in enumerate(requests)
-                if r.reference is not None]
+                if r.reference is not None and results[qi].ranking]
         if not rows:
             return
-        kk = min(self.rerank_k,
-                 min(len(results[qi].ranking) for qi in rows))
-        if kk < 1:
-            return
+        kk = self.rerank_k
+        depths = [min(kk, len(results[qi].ranking)) for qi in rows]
         topk_names = np.asarray(
-            [results[qi].ranking[:kk] for qi in rows], dtype=object)
+            [[results[qi].ranking[min(j, d - 1)] for j in range(kk)]
+             for qi, d in zip(rows, depths)], dtype=object)
         out = rerank(
             self.stage1, self.s1_params, self.reranker, self.s2_params,
             self.tokenizer,
@@ -241,14 +310,14 @@ class CIRServingEngine:
             topk_names=topk_names,
             index_feats=self.index.raw_s2, index_names=self.index.names,
             text_len=self.text_len, q_batch=self.q_pad)
-        for oi, qi in enumerate(rows):
+        for oi, (qi, d) in enumerate(zip(rows, depths)):
             res = results[qi]
-            order = out.order[oi]
+            order = [j for j in out.order[oi] if j < d]
             head = [res.ranking[j] for j in order]
             head_scores = [float(out.logits[oi, j]) for j in order]
-            res.ranking = head + res.ranking[kk:]
-            res.scores = head_scores + res.scores[kk:]
-            res.reranked = kk
+            res.ranking = head + res.ranking[d:]
+            res.scores = head_scores + res.scores[d:]
+            res.reranked = d
 
 
 class MicroBatcher:
@@ -291,6 +360,8 @@ class MicroBatcher:
     def submit(self, request: ServeRequest) -> ServeResult:
         import time
 
+        if self._stop.is_set():
+            raise RuntimeError("server is shutting down")
         t0 = time.perf_counter()
         ev = threading.Event()
         slot: dict = {}
@@ -305,34 +376,58 @@ class MicroBatcher:
         return slot["result"]
 
     def _run(self):
+        import time
+
         while not self._stop.is_set():
             try:
                 first = self.q.get(timeout=0.1)
             except queue.Empty:
                 continue
             batch = [first]
-            deadline = self.window
+            # absolute deadline: the first request waits at most ONE window
+            # regardless of how many stragglers trickle in behind it
+            deadline = time.monotonic() + self.window
             while len(batch) < self.engine.q_pad:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    batch.append(self.q.get(timeout=deadline))
+                    batch.append(self.q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            reqs = [b[0] for b in batch]
-            with self._lock:
-                self._requests += len(reqs)
-                self._waves += 1
+            self._serve_batch(batch)
+        # shutdown: fail anything still queued instead of leaving callers
+        # blocked on ev.wait() forever
+        while True:
             try:
-                results = self.engine.handle(reqs)
-                for (_, ev, slot), res in zip(batch, results):
-                    slot["result"] = res
-                    ev.set()
-            except Exception as e:  # propagate per-request
-                with self._lock:
-                    self._errors += len(reqs)
-                for _, ev, slot in batch:
+                _, ev, slot = self.q.get_nowait()
+            except queue.Empty:
+                break
+            slot["error"] = RuntimeError("server is shutting down")
+            ev.set()
+
+    def _serve_batch(self, batch):
+        reqs = [b[0] for b in batch]
+        with self._lock:
+            self._requests += len(reqs)
+            self._waves += 1
+        try:
+            results = self.engine.handle(reqs)
+            for (_, ev, slot), res in zip(batch, results):
+                slot["result"] = res
+                ev.set()
+        except Exception:
+            # one bad request must not fail its wave-mates: isolate by
+            # retrying each request alone, so only the offender errors
+            for req, ev, slot in batch:
+                try:
+                    slot["result"] = self.engine.handle([req])[0]
+                except Exception as e:
+                    with self._lock:
+                        self._errors += 1
                     slot["error"] = e
-                    ev.set()
+                ev.set()
 
     def close(self):
         self._stop.set()
-        self.worker.join(timeout=2)
+        self.worker.join(timeout=5)

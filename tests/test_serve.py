@@ -215,3 +215,77 @@ def test_http_server_end_to_end(stack):
     finally:
         server.shutdown()
         server.batcher.close()
+
+
+def test_per_request_k_does_not_truncate_wavemates(stack):
+    """A co-batched small-k request must not shrink another request's
+    re-rank depth (the grid runs at the static rerank_k width)."""
+    eng = make_engine(stack, q_pad=2)
+    small = ServeRequest(caption="tiny", reference="im0", k=2)
+    big = ServeRequest(caption="large", reference="im1", k=8)
+    out = eng.handle([small, big])
+    assert out[0].reranked == 2 and len(out[0].ranking) == 2
+    assert out[1].reranked == 4 and len(out[1].ranking) == 8
+    # identical to scoring 'big' alone
+    alone = eng.handle([big])[0]
+    assert out[1].ranking == alone.ranking
+
+
+def test_validation_messages(stack):
+    eng = make_engine(stack, with_reranker=False)
+    with pytest.raises(ValueError, match="caption"):
+        eng.handle([ServeRequest(caption="", reference="im0")])
+    with pytest.raises(ValueError, match="reference"):
+        eng.handle([ServeRequest(caption="x")])
+    with pytest.raises(ValueError, match="unknown reference"):
+        eng.handle([ServeRequest(caption="x", reference="nope.png")])
+    with pytest.raises(ValueError, match="k must be"):
+        eng.handle([ServeRequest(caption="x", reference="im0", k=0)])
+
+
+def test_micro_batcher_isolates_bad_requests(stack):
+    """One invalid request in a coalesced wave errors alone; wave-mates
+    still get their results."""
+    eng = make_engine(stack, with_reranker=False, q_pad=4)
+    eng.warmup()
+    batcher = MicroBatcher(eng, window_ms=50)
+    results, errors = {}, {}
+
+    def call(i, ref):
+        try:
+            results[i] = batcher.submit(
+                ServeRequest(caption=f"c {i}", reference=ref, k=3))
+        except ValueError as e:
+            errors[i] = str(e)
+
+    threads = [
+        threading.Thread(target=call, args=(0, "im0")),
+        threading.Thread(target=call, args=(1, "does-not-exist")),
+        threading.Thread(target=call, args=(2, "im2")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    stats = batcher.stats()
+    batcher.close()
+    assert set(results) == {0, 2} and set(errors) == {1}
+    assert "unknown reference" in errors[1]
+    assert stats["errors"] == 1
+
+
+def test_index_cache_fingerprint_mismatch(stack, tmp_path):
+    *_, index = stack
+    index.fingerprint = {"stage1": "abc", "split": "val"}
+    p = tmp_path / "fp.npz"
+    index.save(p)
+    # matching expectation loads fine
+    ServingIndex.load(p, expect_fingerprint={"stage1": "abc", "split": "val"})
+    # stale weights -> refuse
+    with pytest.raises(ValueError, match="does not match"):
+        ServingIndex.load(p, expect_fingerprint={"stage1": "OTHER"})
+    # cache without a fingerprint also refuses when one is expected
+    index.fingerprint = None
+    index.save(p)
+    with pytest.raises(ValueError, match="does not match"):
+        ServingIndex.load(p, expect_fingerprint={"stage1": "abc"})

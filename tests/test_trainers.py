@@ -204,6 +204,8 @@ def test_stage1_trainer_preemption_saves_resumable(root, capsys,
                         lambda *a, **k: CometStub())
     stage1_train.main(args + ["--resume", "--num-epochs", "1"])
     text = capsys.readouterr().out
-    # the interrupted epoch 0 is re-run, not skipped
+    # the interrupted epoch 0 is re-entered, and the batch applied before
+    # the preemption is skipped (not double-applied)
     assert "resumed from" in text and "at epoch 0" in text
+    assert "skipping 1 already-applied batches" in text
     assert "[epoch 0] loss=" in text
