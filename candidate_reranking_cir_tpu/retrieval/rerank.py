@@ -345,7 +345,7 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
                            index_names: list[str], text_len: int,
                            skip_mask: np.ndarray | None = None,
                            group_members: list[list[str]] | None = None,
-                           pairs_per_call: int = 512,
+                           pairs_per_call: int = 256,
                            q_buckets: tuple[int, ...] = (8, 32, 128),
                            l_buckets="auto",
                            zt_batch: int = 32, mesh=None,
