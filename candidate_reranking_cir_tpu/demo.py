@@ -87,8 +87,13 @@ def main(argv=None):
     print("== generating synthetic CIRR dataset ==")
     build_dataset(root)
 
+    # no vocab file -> the clearly-marked test tokenizer (near char-level),
+    # where these captions need ~30 wordpieces; truncation is fine for a
+    # synthetic demo (production runs use the real vocab + the default
+    # fail-loud overflow policy)
     common = ["--dataset", "CIRR", "--data-root", str(root),
               "--image-size", "32", "--text-len", "12", "--no-bf16",
+              "--text-overflow", "truncate",
               "--model-config", str(root / "model_config.json")]
 
     from candidate_reranking_cir_tpu.cli import (
@@ -135,6 +140,23 @@ def main(argv=None):
         "--submission-name", "demo_stage2",
         "--out-dir", str(root / "submission"), "--q-batch", "4",
         "--batch-size", "4"])
+
+    print("\n== online serving (in-process) ==")
+    from candidate_reranking_cir_tpu.cli import serve as serve_cli
+
+    serve_args = serve_cli.parse_args(common + [
+        "--stage1-path", s1, "--stage2-path", s2, "--split", "val",
+        "--rerank-k", "4", "--q-pad", "2", "--batch-size", "4"])
+    engine = serve_cli.make_engine(serve_args)
+    engine.warmup()
+    req = serve_cli.request_from_json(engine, {
+        "caption": CAPTION_BANK[0],
+        "reference": engine.index.names[0], "k": 5})
+    res = engine.handle([req])[0]
+    print(f"query: {CAPTION_BANK[0]!r} (reference "
+          f"{engine.index.names[0]})")
+    print(f"  -> top-{len(res.ranking)}: {res.ranking} "
+          f"(stage-II re-scored head: {res.reranked})")
 
     print(f"\ndemo complete — artifacts under {root}")
 

@@ -346,7 +346,8 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
                            skip_mask: np.ndarray | None = None,
                            group_members: list[list[str]] | None = None,
                            pairs_per_call: int = 256,
-                           q_buckets: tuple[int, ...] = (8, 32, 128),
+                           q_buckets: tuple[int, ...] = (4, 8, 16, 32, 64,
+                                                         128),
                            l_buckets="auto",
                            zt_batch: int = 32, mesh=None,
                            index_sharded: bool = False) -> RerankOutput:

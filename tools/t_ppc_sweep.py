@@ -56,7 +56,10 @@ kw = dict(captions=[f"caption {q}" for q in range(n_q)],
 n_pairs = n_q * (k + 5)
 rtt = measure_rtt()
 
-for ppc in (int(a) for a in (sys.argv[1:] or ["384", "512", "768"])):
+numeric = [a for a in sys.argv[1:] if a.isdigit()]
+for ppc in (int(a) for a in (numeric or
+                             ([] if "--qbuckets" in sys.argv
+                              else ["384", "512", "768"]))):
     rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
                            pairs_per_call=ppc, **kw)
     t0 = time.perf_counter()
@@ -64,3 +67,19 @@ for ppc in (int(a) for a in (sys.argv[1:] or ["384", "512", "768"])):
                            pairs_per_call=ppc, **kw)
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     print(f"ppc={ppc}: {n_pairs/dt:,.0f} t/s", flush=True)
+
+
+def sweep_qbuckets(sets):
+    for qb in sets:
+        rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
+                               q_buckets=qb, **kw)
+        t0 = time.perf_counter()
+        rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
+                               q_buckets=qb, **kw)
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+        print(f"q_buckets={qb}: {n_pairs/dt:,.0f} t/s", flush=True)
+
+
+if "--qbuckets" in sys.argv:
+    sweep_qbuckets([(2, 4, 8, 16, 32, 64, 128), (4, 8, 16, 32, 64),
+                    (4, 8, 16, 32)])
