@@ -57,9 +57,9 @@ n_pairs = n_q * (k + 5)
 rtt = measure_rtt()
 
 numeric = [a for a in sys.argv[1:] if a.isdigit()]
+flagged = any(a.startswith("--") for a in sys.argv[1:])
 for ppc in (int(a) for a in (numeric or
-                             ([] if "--qbuckets" in sys.argv
-                              else ["384", "512", "768"]))):
+                             ([] if flagged else ["384", "512", "768"]))):
     rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
                            pairs_per_call=ppc, **kw)
     t0 = time.perf_counter()
@@ -83,3 +83,15 @@ def sweep_qbuckets(sets):
 if "--qbuckets" in sys.argv:
     sweep_qbuckets([(2, 4, 8, 16, 32, 64, 128), (4, 8, 16, 32, 64),
                     (4, 8, 16, 32)])
+
+
+if "--ppc2" in sys.argv:  # re-tune call size at the tuned q_buckets default
+    for ppc in (128, 192, 320):
+        rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
+                               pairs_per_call=ppc, **kw)
+        t0 = time.perf_counter()
+        rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
+                               pairs_per_call=ppc, **kw)
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+        print(f"ppc={ppc} (tuned buckets): {n_pairs/dt:,.0f} t/s",
+              flush=True)
