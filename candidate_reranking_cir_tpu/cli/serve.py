@@ -48,6 +48,10 @@ def parse_args(argv=None):
                         help="npz path: load the corpus index if it exists, "
                              "else build and save it")
     parser.add_argument("--rerank-k", type=int, default=50)
+    parser.add_argument("--index-int8", action="store_true",
+                        help="quantize the raw token banks to per-token "
+                             "symmetric int8 (~half the corpus HBM; scores "
+                             "shift by <1%% — see ops/quant.py)")
     parser.add_argument("--q-pad", type=int, default=4,
                         help="static query-batch width per wave")
     parser.add_argument("--batch-size", type=int, default=16,
@@ -110,6 +114,9 @@ def make_engine(args):
             print(f"index cached at {args.index_cache}", file=sys.stderr)
         print(f"index built: {len(index.names)} images", file=sys.stderr)
 
+    if args.index_int8:
+        index.quantize()
+        print("index banks quantized to int8", file=sys.stderr)
     engine = CIRServingEngine(
         stage1, s1_params, tokenizer, index, text_len=args.text_len,
         q_pad=args.q_pad, reranker=reranker, s2_params=s2_params,

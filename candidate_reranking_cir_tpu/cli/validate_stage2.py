@@ -41,6 +41,11 @@ def main(argv=None):
                              "instead of replicating it (for corpora beyond "
                              "per-chip HBM); needs --mesh auto and the "
                              "candidate-major schedule")
+    parser.add_argument("--index-int8", action="store_true",
+                        help="quantize the corpus feature bank to per-token "
+                             "int8 (~half the HBM; scores shift <1%% — "
+                             "diverges from reference numerics, OFF for "
+                             "parity runs)")
     parser.add_argument("--l-buckets", type=str, default="auto",
                         help="text-length buckets for the candidate-major "
                              "scheduler: 'auto' (length-percentile cuts), "
@@ -66,6 +71,7 @@ def main(argv=None):
             top_k_path=args.top_k_path, k=args.k_value,
             text_len=args.text_len, q_batch=args.q_batch, mesh=mesh,
             schedule=args.schedule, l_buckets=l_buckets,
+            index_int8=args.index_int8,
             shard_index=args.shard_index and mesh is not None)
         print_metrics(mets)
         print(f"recall_mean = {mets['mean_r5_rs1']:.2f}")
@@ -76,6 +82,7 @@ def main(argv=None):
             top_k_path=args.top_k_path, k=args.k_value,
             text_len=args.text_len, q_batch=args.q_batch, mesh=mesh,
             schedule=args.schedule, l_buckets=l_buckets,
+            index_int8=args.index_int8,
             shard_index=args.shard_index and mesh is not None)
         print_metrics(mets)
     else:

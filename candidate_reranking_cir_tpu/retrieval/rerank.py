@@ -28,6 +28,11 @@ import numpy as np
 
 from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
 from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
+from candidate_reranking_cir_tpu.ops.quant import (
+    Int8Bank,
+    bank_len,
+    take_rows,
+)
 
 SKIP_LOGIT = -99999.99  # validate_stage2.py:257
 
@@ -170,7 +175,7 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
 
         ids = jnp.asarray(ids_all[rows])
         msk = jnp.asarray(mask_all[rows])
-        refs = jnp.take(index_feats, jnp.asarray(ref_idx[rows]), axis=0)
+        refs = take_rows(index_feats, jnp.asarray(ref_idx[rows]))
         if mesh is not None:
             ids, msk, refs = _shard0(mesh, ids, msk, refs)
         z_t = produce_zt(s1_params, refs, ids, msk)
@@ -179,8 +184,7 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
         uniq, inv = np.unique(chunk_cand, return_inverse=True)
         if dedup and len(uniq) <= u_cap:
             pad_uniq = np.pad(uniq, (0, u_cap - len(uniq)))
-            unique_feats = jnp.take(index_feats, jnp.asarray(pad_uniq),
-                                    axis=0)
+            unique_feats = take_rows(index_feats, jnp.asarray(pad_uniq))
             pair_map = jnp.asarray(inv.reshape(chunk_cand.shape), jnp.int32)
             if mesh is not None:
                 # commit to the (possibly fit_mesh-shrunk) eval mesh: the
@@ -195,7 +199,7 @@ def rerank(stage1, s1_params, reranker, s2_params, tokenizer, *,
             out = score_indexed(s2_params, z_t, ids, msk, unique_feats,
                                 pair_map)
         else:
-            cands = jnp.take(index_feats, jnp.asarray(chunk_cand), axis=0)
+            cands = take_rows(index_feats, jnp.asarray(chunk_cand))
             if mesh is not None:
                 (cands,) = _shard0(mesh, cands)
             out = score(s2_params, z_t, ids, msk, cands)
@@ -224,7 +228,7 @@ def make_cand_major_fns(stage1: RetrievalModel, reranker: RerankerModel):
     @jax.jit
     def produce_all_zt(s1_params, feats, ids, mask, ref_rows, row_chunks):
         def body(carry, rows):
-            refs = jnp.take(feats, jnp.take(ref_rows, rows), axis=0)
+            refs = take_rows(feats, jnp.take(ref_rows, rows))
             z = stage1.apply(s1_params, refs, jnp.take(ids, rows, axis=0),
                              jnp.take(mask, rows, axis=0), return_raw=True,
                              method=RetrievalModel.fuse)
@@ -242,7 +246,7 @@ def make_cand_major_fns(stage1: RetrievalModel, reranker: RerankerModel):
             z = jnp.take(zt, flat, axis=0).reshape(a, bb, *zt.shape[1:])
             i = jnp.take(ids, flat, axis=0).reshape(a, bb, -1)
             m = jnp.take(mask, flat, axis=0).reshape(a, bb, -1)
-            cf = jnp.take(feats, c, axis=0)
+            cf = take_rows(feats, c)
             s = reranker.apply(s2_params, z, i, m, cf,
                                method=RerankerModel.score_grid)
             return carry, s
@@ -402,6 +406,9 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
     n_dev = 1 if mesh is None else mesh.devices.size
     if index_sharded and mesh is None:
         raise ValueError("index_sharded=True requires a mesh")
+    if index_sharded and isinstance(index_feats, Int8Bank):
+        raise ValueError("int8 banks are not supported with index_sharded "
+                         "(quantize halves the bank instead of sharding it)")
     if mesh is not None and zt_batch % n_dev != 0:
         zt_batch = ((zt_batch + n_dev - 1) // n_dev) * n_dev
 
@@ -441,7 +448,7 @@ def rerank_candidate_major(stage1, s1_params, reranker, s2_params, tokenizer, *,
 
     logits = np.full((n, k), SKIP_LOGIT, np.float32)
     grp_logits = np.zeros((n, 5), np.float32) if do_groups else None
-    shard_size = index_feats.shape[0] // n_dev if index_sharded else 0
+    shard_size = bank_len(index_feats) // n_dev if index_sharded else 0
     # (device scores, scatter metadata) per dispatched scan: every bucket's
     # program is dispatched asynchronously and fetched only at the end, so
     # host-side scheduling of later buckets overlaps device compute

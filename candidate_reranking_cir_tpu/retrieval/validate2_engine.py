@@ -63,7 +63,8 @@ def evaluate_cirr_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                          data_root, transform, top_k_path, k, text_len,
                          q_batch: int = 8, batch_size: int = 16, mesh=None,
                          schedule: str = "candidate_major",
-                         shard_index: bool = False, l_buckets="auto") -> dict:
+                         shard_index: bool = False, l_buckets="auto",
+                         index_int8: bool = False) -> dict:
     classic = CIRRDataset(data_root, "val", "classic", transform,
                           load_topk=top_k_path, k=k)
     relative = CIRRDataset(data_root, "val", "relative", transform,
@@ -71,6 +72,10 @@ def evaluate_cirr_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
     raw, _, index_names = _build_stage2_index(reranker, s2_params, classic,
                                               batch_size, mesh=mesh,
                                               shard_index=shard_index)
+    if index_int8:
+        from candidate_reranking_cir_tpu.ops.quant import quantize_bank
+
+        raw = quantize_bank(raw)  # ~half the bank HBM; scores shift <1%
 
     samples = [relative[i] for i in range(len(relative))]
     captions = [s["caption"] for s in samples]
@@ -115,7 +120,8 @@ def evaluate_fiq_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                         dress_types=("shirt", "dress", "toptee"),
                         q_batch: int = 8, batch_size: int = 16, mesh=None,
                         schedule: str = "candidate_major",
-                        shard_index: bool = False, l_buckets="auto") -> dict:
+                        shard_index: bool = False, l_buckets="auto",
+                        index_int8: bool = False) -> dict:
     """Per-category re-rank eval; top_k_path may contain '{dress}' or the
     reference's 'DTYPE' placeholder, substituted per category (the reference
     stores one file per type, utils.py:195)."""
@@ -131,6 +137,10 @@ def evaluate_fiq_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                                                   classic, batch_size,
                                                   mesh=mesh,
                                                   shard_index=shard_index)
+        if index_int8:
+            from candidate_reranking_cir_tpu.ops.quant import quantize_bank
+
+            raw = quantize_bank(raw)
 
         samples = [relative[i] for i in range(len(relative))]
         captions = compose_fiq_eval([s["captions"] for s in samples])

@@ -29,6 +29,11 @@ import numpy as np
 
 from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
 from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+from candidate_reranking_cir_tpu.ops.quant import (
+    Int8Bank,
+    quantize_bank,
+    take_rows,
+)
 from candidate_reranking_cir_tpu.ops.topk import cosine_topk
 from candidate_reranking_cir_tpu.retrieval.rerank import rerank
 
@@ -81,9 +86,26 @@ class ServingIndex:
         if not self.pos:
             self.pos = {nm: i for i, nm in enumerate(self.names)}
 
+    def quantize(self):
+        """Convert the raw token banks to symmetric per-token int8 (~half
+        the HBM; see ops/quant.py for the accuracy tradeoff). The pooled
+        ranking bank stays fp32 — it is [N, 256], negligible."""
+        if not isinstance(self.raw_s1, Int8Bank):
+            self.raw_s1 = quantize_bank(self.raw_s1)
+        if self.raw_s2 is not None and not isinstance(self.raw_s2, Int8Bank):
+            self.raw_s2 = quantize_bank(self.raw_s2)
+        return self
+
     def save(self, path):
-        """npz cache; bf16 stored as a uint16 bit view (npz has no bf16)."""
+        """npz cache; bf16 stored as a uint16 bit view (npz has no bf16).
+        Caches always store the full-precision banks — quantize AFTER
+        loading so one cache serves both modes."""
         import json
+
+        if isinstance(self.raw_s1, Int8Bank) or \
+                isinstance(self.raw_s2, Int8Bank):
+            raise ValueError("save the index before quantize(): caches store "
+                             "full-precision banks")
 
         arrs = {
             "names": np.asarray(self.names, dtype=object),
@@ -235,16 +257,18 @@ class CIRServingEngine:
         embeds for requests carrying a new image (memoized per request, so
         wave padding never recomputes a ViT forward)."""
         feats = []
+        dtype = (jnp.bfloat16 if isinstance(bank, Int8Bank)
+                 else bank.dtype)
         embed_cache: dict[int, jax.Array] = {}
         for r in requests:
             if r.reference_image is not None:
                 if id(r) not in embed_cache:
                     img = jnp.asarray(r.reference_image)[None]
-                    embed_cache[id(r)] = embed_fn(img)[0].astype(bank.dtype)
+                    embed_cache[id(r)] = embed_fn(img)[0].astype(dtype)
                 feats.append(embed_cache[id(r)])
             else:
-                feats.append(jnp.take(bank, self.index.pos[r.reference],
-                                      axis=0))
+                feats.append(take_rows(
+                    bank, self.index.pos[r.reference], dtype=dtype))
         return jnp.stack(feats)
 
     def handle(self, requests: list[ServeRequest]) -> list[ServeResult]:
