@@ -54,6 +54,9 @@ def main(argv=None):
                              "with text width; scores are bit-exact across "
                              "bucket widths")
     args = parser.parse_args(argv)
+    if args.index_int8 and args.shard_index:
+        parser.error("--index-int8 and --shard-index are mutually exclusive "
+                     "(quantize halves the bank instead of sharding it)")
 
     stage1, s1_cfg = build_stage1(args)
     reranker, s2_cfg = build_stage2(args)

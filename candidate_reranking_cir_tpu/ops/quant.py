@@ -44,29 +44,49 @@ class Int8Bank:
         return cls(*children)
 
 
-def quantize_bank(feats, *, axis: int = -1) -> Int8Bank:
-    """[..., W] float -> symmetric per-row int8 (scale = max|x| / 127)."""
-    feats = jnp.asarray(feats)
-    amax = jnp.max(jnp.abs(feats.astype(jnp.float32)), axis=axis,
-                   keepdims=True)
+@jax.jit
+def _quantize_chunk(x):
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(feats.astype(jnp.float32) / scale), -127, 127
-                 ).astype(jnp.int8)
-    return Int8Bank(q=q, scale=scale)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_bank(feats, *, chunk: int = 512) -> Int8Bank:
+    """[N, ..., W] float -> symmetric per-last-axis-row int8
+    (scale = max|x| / 127).
+
+    Quantizes in jitted leading-axis chunks so the transient HBM peak stays
+    near bank + int8 output — an eager whole-bank pass would materialize
+    several full fp32 temporaries, OOMing at exactly the corpus sizes this
+    feature targets."""
+    feats = jnp.asarray(feats)
+    qs, ss = [], []
+    for s in range(0, feats.shape[0], chunk):
+        q, sc = _quantize_chunk(feats[s:s + chunk])
+        qs.append(q)
+        ss.append(sc)
+    if len(qs) == 1:
+        return Int8Bank(q=qs[0], scale=ss[0])
+    return Int8Bank(q=jnp.concatenate(qs), scale=jnp.concatenate(ss))
 
 
 def dequantize(bank: Int8Bank, dtype=jnp.bfloat16):
     return (bank.q.astype(jnp.float32) * bank.scale).astype(dtype)
 
 
-def take_rows(bank, idx, dtype=jnp.bfloat16):
+def take_rows(bank, idx, dtype=None):
     """Gather bank rows by leading-axis index; dequantizes int8 banks after
-    the gather. Accepts a plain array (returned as-is dtype) or Int8Bank."""
+    the gather (to ``dtype``, default bf16). Plain arrays pass through in
+    their own dtype unless ``dtype`` is given explicitly — a full-precision
+    bank must not silently drop precision."""
     if isinstance(bank, Int8Bank):
         q = jnp.take(bank.q, idx, axis=0)
         s = jnp.take(bank.scale, idx, axis=0)
-        return (q.astype(jnp.float32) * s).astype(dtype)
-    return jnp.take(bank, idx, axis=0)
+        return (q.astype(jnp.float32) * s).astype(dtype or jnp.bfloat16)
+    rows = jnp.take(bank, idx, axis=0)
+    return rows.astype(dtype) if dtype is not None else rows
 
 
 def bank_len(bank) -> int:

@@ -16,6 +16,7 @@ from candidate_reranking_cir_tpu.data.datasets import (
     FashionIQDataset,
 )
 from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
+from candidate_reranking_cir_tpu.ops.quant import quantize_bank
 from candidate_reranking_cir_tpu.retrieval import metrics as M
 from candidate_reranking_cir_tpu.retrieval.index import build_index
 from candidate_reranking_cir_tpu.retrieval.rerank import (
@@ -73,8 +74,6 @@ def evaluate_cirr_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                                               batch_size, mesh=mesh,
                                               shard_index=shard_index)
     if index_int8:
-        from candidate_reranking_cir_tpu.ops.quant import quantize_bank
-
         raw = quantize_bank(raw)  # ~half the bank HBM; scores shift <1%
 
     samples = [relative[i] for i in range(len(relative))]
@@ -138,8 +137,6 @@ def evaluate_fiq_stage2(stage1, s1_params, reranker, s2_params, tokenizer, *,
                                                   mesh=mesh,
                                                   shard_index=shard_index)
         if index_int8:
-            from candidate_reranking_cir_tpu.ops.quant import quantize_bank
-
             raw = quantize_bank(raw)
 
         samples = [relative[i] for i in range(len(relative))]

@@ -168,6 +168,19 @@ def test_serving_with_int8_index(rng):
     res_q = eng.handle([ServeRequest(caption="blue", reference="im1",
                                      k=6)])[0]
     assert len(res_q.ranking) == 6 and res_q.reranked == 4
-    # stage-I ranking identical (pooled bank is not quantized); head may
-    # reorder slightly under quantized stage-II scores
-    assert set(res_q.ranking) == set(res_full.ranking)
+    # the pooled ranking bank is NOT quantized, but the reference-image
+    # fusion features come from the quantized raw_s1 bank, so the cosine
+    # order can shift at the k-boundary — assert strong overlap, not
+    # equality (a boundary flip under different rounding is legitimate)
+    assert len(set(res_q.ranking) & set(res_full.ranking)) >= 5
+
+
+def test_cli_rejects_int8_plus_shard_index():
+    from candidate_reranking_cir_tpu.cli import validate_stage2
+
+    with pytest.raises(SystemExit) as e:
+        validate_stage2.main([
+            "--dataset", "CIRR", "--data-root", ".", "--stage1-path", "x",
+            "--stage2-path", "y", "--top-k-path", "z",
+            "--index-int8", "--shard-index"])
+    assert e.value.code == 2  # argparse error, before any work

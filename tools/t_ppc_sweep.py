@@ -56,42 +56,29 @@ kw = dict(captions=[f"caption {q}" for q in range(n_q)],
 n_pairs = n_q * (k + 5)
 rtt = measure_rtt()
 
+def timed(label, **overrides):
+    """Warm-up (compiles), then one timed end-to-end run, RTT subtracted —
+    the single timing recipe every sweep below shares."""
+    rerank_candidate_major(s1, s1_params, s2, s2_params, tok, **overrides,
+                           **kw)
+    t0 = time.perf_counter()
+    rerank_candidate_major(s1, s1_params, s2, s2_params, tok, **overrides,
+                           **kw)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+    print(f"{label}: {n_pairs/dt:,.0f} t/s", flush=True)
+
+
 numeric = [a for a in sys.argv[1:] if a.isdigit()]
 flagged = any(a.startswith("--") for a in sys.argv[1:])
 for ppc in (int(a) for a in (numeric or
                              ([] if flagged else ["384", "512", "768"]))):
-    rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
-                           pairs_per_call=ppc, **kw)
-    t0 = time.perf_counter()
-    rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
-                           pairs_per_call=ppc, **kw)
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-    print(f"ppc={ppc}: {n_pairs/dt:,.0f} t/s", flush=True)
-
-
-def sweep_qbuckets(sets):
-    for qb in sets:
-        rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
-                               q_buckets=qb, **kw)
-        t0 = time.perf_counter()
-        rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
-                               q_buckets=qb, **kw)
-        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-        print(f"q_buckets={qb}: {n_pairs/dt:,.0f} t/s", flush=True)
-
+    timed(f"ppc={ppc}", pairs_per_call=ppc)
 
 if "--qbuckets" in sys.argv:
-    sweep_qbuckets([(2, 4, 8, 16, 32, 64, 128), (4, 8, 16, 32, 64),
-                    (4, 8, 16, 32)])
-
+    for qb in [(2, 4, 8, 16, 32, 64, 128), (4, 8, 16, 32, 64),
+               (4, 8, 16, 32)]:
+        timed(f"q_buckets={qb}", q_buckets=qb)
 
 if "--ppc2" in sys.argv:  # re-tune call size at the tuned q_buckets default
     for ppc in (128, 192, 320):
-        rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
-                               pairs_per_call=ppc, **kw)
-        t0 = time.perf_counter()
-        rerank_candidate_major(s1, s1_params, s2, s2_params, tok,
-                               pairs_per_call=ppc, **kw)
-        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-        print(f"ppc={ppc} (tuned buckets): {n_pairs/dt:,.0f} t/s",
-              flush=True)
+        timed(f"ppc={ppc} (tuned buckets)", pairs_per_call=ppc)

@@ -85,8 +85,11 @@ for r in reqs[:20]:
     engine.handle([r])
     lat.append(time.perf_counter() - t0)
 lat.sort()
+n_lat = len(lat)
+p50 = lat[n_lat // 2]
+p90 = lat[min(int(0.9 * n_lat), n_lat - 1)]
 print(f"single-request latency (rank@2297 + rerank@50, incl. relay RTT): "
-      f"p50 {lat[10]*1000:.0f} ms, p90 {lat[17]*1000:.0f} ms", flush=True)
+      f"p50 {p50*1000:.0f} ms, p90 {p90*1000:.0f} ms", flush=True)
 
 # ---- coalesced throughput (8 concurrent clients) ----------------------------
 batcher = MicroBatcher(engine, window_ms=3)
