@@ -34,7 +34,7 @@ from candidate_reranking_cir_tpu.ops.quant import (
     quantize_bank,
     take_rows,
 )
-from candidate_reranking_cir_tpu.ops.topk import cosine_topk
+from candidate_reranking_cir_tpu.ops.topk import cosine_scores, cosine_topk
 from candidate_reranking_cir_tpu.retrieval.rerank import rerank
 
 
@@ -74,17 +74,104 @@ class ServingIndex:
 
     ``fingerprint`` records what produced the index (checkpoint checksums,
     dataset/split/transform); the cache loader refuses a mismatched cache
-    instead of silently ranking against stale embeddings."""
+    instead of silently ranking against stale embeddings.
+
+    Supports INCREMENTAL updates without a rebuild (the production corpus
+    changes; recompiling per size would stall serving): banks are padded to
+    a power-of-two ``capacity`` and a ``valid`` mask tombstones removed
+    rows, so every compiled program keeps a static shape until capacity
+    doubles. Removed slots are reused by later additions."""
     names: list[str]
-    pooled_s1: jax.Array          # [N, E] fp32
-    raw_s1: jax.Array             # [N, M, W] bf16 (reference-image fusion)
-    raw_s2: jax.Array | None = None  # [N, M, W] bf16 (stage-II ViT)
+    pooled_s1: jax.Array          # [capacity, E] fp32
+    raw_s1: jax.Array             # [capacity, M, W] bf16 (reference fusion)
+    raw_s2: jax.Array | None = None  # [capacity, M, W] bf16 (stage-II ViT)
     fingerprint: dict | None = None
+    valid: jax.Array | None = None   # [capacity] bool; None = all valid
     pos: dict = field(default_factory=dict)
 
     def __post_init__(self):
         if not self.pos:
             self.pos = {nm: i for i, nm in enumerate(self.names)}
+        if self.valid is None:
+            self.valid = jnp.ones(self.capacity, bool)
+
+    @property
+    def capacity(self) -> int:
+        return self.pooled_s1.shape[0]
+
+    @property
+    def n_valid(self) -> int:
+        return len(self.pos)
+
+    def _assert_mutable(self):
+        if isinstance(self.raw_s1, Int8Bank) or \
+                isinstance(self.raw_s2, Int8Bank):
+            raise ValueError("a quantized index is immutable — apply "
+                             "add/remove before quantize(), or rebuild")
+
+    def _grow_to(self, capacity: int):
+        pad = capacity - self.capacity
+        if pad <= 0:
+            return
+
+        def grow(a):
+            if a is None:
+                return None
+            shape = (pad, *a.shape[1:])
+            return jnp.concatenate([a, jnp.zeros(shape, a.dtype)])
+
+        self.pooled_s1 = grow(self.pooled_s1)
+        self.raw_s1 = grow(self.raw_s1)
+        self.raw_s2 = grow(self.raw_s2)
+        self.valid = jnp.concatenate([self.valid, jnp.zeros(pad, bool)])
+        self.names = self.names + [f"__free_{i}__"
+                                   for i in range(self.capacity - pad,
+                                                  self.capacity)]
+
+    def add_rows(self, names: list[str], pooled, raw1, raw2=None):
+        """Append embedded rows, reusing tombstoned slots first; grows the
+        banks to the next power of two when full (the ranking program
+        recompiles once per doubling, not per addition)."""
+        self._assert_mutable()
+        for nm in names:
+            if nm in self.pos:
+                raise ValueError(f"{nm!r} is already indexed")
+        if (raw2 is None) != (self.raw_s2 is None):
+            raise ValueError("stage-II features must match the index")
+        used = set(self.pos.values())
+        free = [i for i in range(self.capacity) if i not in used]
+        need = len(names) - len(free)
+        if need > 0:
+            new_cap = max(2 * self.capacity, self.capacity + need)
+            new_cap = 1 << (new_cap - 1).bit_length()  # next power of two
+            start = self.capacity
+            self._grow_to(new_cap)
+            free = free + list(range(start, self.capacity))
+        rows = jnp.asarray(free[:len(names)])
+        self.pooled_s1 = self.pooled_s1.at[rows].set(
+            jnp.asarray(pooled, self.pooled_s1.dtype))
+        self.raw_s1 = self.raw_s1.at[rows].set(
+            jnp.asarray(raw1, self.raw_s1.dtype))
+        if raw2 is not None:
+            self.raw_s2 = self.raw_s2.at[rows].set(
+                jnp.asarray(raw2, self.raw_s2.dtype))
+        self.valid = self.valid.at[rows].set(True)
+        for nm, row in zip(names, free):
+            self.names[row] = nm
+            self.pos[nm] = row
+
+    def remove_rows(self, names: list[str]):
+        """Tombstone rows: the valid mask sinks them below every real
+        candidate (-inf similarity); their slots are reused by add_rows."""
+        self._assert_mutable()
+        rows = []
+        for nm in names:
+            if nm not in self.pos:
+                raise ValueError(f"{nm!r} is not indexed")
+            rows.append(self.pos.pop(nm))
+        for row in rows:
+            self.names[row] = f"__tombstone_{row}__"
+        self.valid = self.valid.at[jnp.asarray(rows)].set(False)
 
     def quantize(self):
         """Convert the raw token banks to symmetric per-token int8 (~half
@@ -99,7 +186,8 @@ class ServingIndex:
     def save(self, path):
         """npz cache; bf16 stored as a uint16 bit view (npz has no bf16).
         Caches always store the full-precision banks — quantize AFTER
-        loading so one cache serves both modes."""
+        loading so one cache serves both modes. Tombstoned/free slots are
+        compacted out, so the cache holds exactly the live corpus."""
         import json
 
         if isinstance(self.raw_s1, Int8Bank) or \
@@ -107,14 +195,16 @@ class ServingIndex:
             raise ValueError("save the index before quantize(): caches store "
                              "full-precision banks")
 
+        live = sorted(self.pos.values())
+        rows = np.asarray(live)
         arrs = {
-            "names": np.asarray(self.names, dtype=object),
-            "pooled_s1": np.asarray(self.pooled_s1, np.float32),
-            "raw_s1": np.asarray(self.raw_s1).view(np.uint16),
+            "names": np.asarray([self.names[i] for i in live], dtype=object),
+            "pooled_s1": np.asarray(self.pooled_s1, np.float32)[rows],
+            "raw_s1": np.asarray(self.raw_s1)[rows].view(np.uint16),
             "fingerprint": np.asarray(json.dumps(self.fingerprint or {})),
         }
         if self.raw_s2 is not None:
-            arrs["raw_s2"] = np.asarray(self.raw_s2).view(np.uint16)
+            arrs["raw_s2"] = np.asarray(self.raw_s2)[rows].view(np.uint16)
         np.savez(path, **arrs)
 
     @classmethod
@@ -199,9 +289,12 @@ class CIRServingEngine:
         self.s2_params = s2_params
         # static stage-II depth: one compiled [q_pad, K] grid regardless of
         # which requests share a wave (per-request k only trims the output)
-        self.rerank_k = min(rerank_k, max(1, len(index.names) - 1))
-        # +1 head-room so removing the reference still leaves max_k results
-        self.max_k = min(max_k + 1, len(index.names))
+        self.rerank_k = min(rerank_k, max(1, index.n_valid - 1))
+        # +1 head-room so removing the reference still leaves max_k results;
+        # bounded by capacity (not n_valid) so incremental additions never
+        # shrink the compiled ranking depth
+        self._req_max_k = max_k
+        self.max_k = min(max_k + 1, index.capacity)
 
         @jax.jit
         def fuse_pooled(p, ref_feats, ids, mask):
@@ -209,13 +302,22 @@ class CIRServingEngine:
                                 method=RetrievalModel.fuse)
 
         @jax.jit
-        def topk(pooled_index, preds):
-            return cosine_topk(preds, pooled_index, self.max_k)
+        def topk(pooled_index, valid, preds):
+            sims = cosine_scores(preds, pooled_index)
+            # tombstoned/free slots sink below every real candidate
+            sims = jnp.where(valid[None, :], sims, -jnp.inf)
+            return jax.lax.top_k(sims, self.max_k)
 
         @jax.jit
         def embed_image_s1(p, images):
             return stage1.apply(p, images, method=RetrievalModel.embed_images)
 
+        @jax.jit
+        def embed_s1_full(p, images):
+            return stage1.apply(p, images, pool_and_normalize=True,
+                                method=RetrievalModel.embed_images)
+
+        self._embed_s1_full = embed_s1_full
         self._fuse_pooled = fuse_pooled
         self._topk = topk
         self._embed_image_s1 = embed_image_s1
@@ -231,9 +333,40 @@ class CIRServingEngine:
         """Compile every serving program before traffic arrives — at the
         production shapes: the full-depth ranking AND the [q_pad, rerank_k]
         stage-II grid, so the first real request pays no XLA compile."""
-        req = ServeRequest(caption="warm up", reference=self.index.names[0],
-                           k=len(self.index.names) - 1)
+        first = next(iter(self.index.pos))
+        req = ServeRequest(caption="warm up", reference=first,
+                           k=max(1, self.index.n_valid - 1))
         self.handle([req])
+
+    # ---- incremental corpus updates ----------------------------------------
+
+    def add_images(self, names: list[str], images) -> None:
+        """Index new corpus images without a rebuild: embed with the same
+        stage-I (+stage-II) encoders and write into free bank slots. Banks
+        grow by capacity doubling, so the ranking program recompiles at most
+        O(log N) times over the corpus lifetime; additions are visible to
+        the next request."""
+        images = np.asarray(images, np.float32)
+        if images.ndim != 4 or len(names) != images.shape[0]:
+            raise ValueError("images must be [len(names), H, W, 3] "
+                             "preprocessed float32")
+        pooled, raw1, raw2 = [], [], []
+        for i in range(len(names)):  # [1, ...] embeds: one compiled shape
+            img = jnp.asarray(images[i:i + 1])
+            r1, pl = self._embed_s1_full(self.s1_params, img)
+            raw1.append(r1[0])
+            pooled.append(pl[0])
+            if self.reranker is not None:
+                raw2.append(self._embed_image_s2(self.s2_params, img)[0])
+        self.index.add_rows(
+            names, jnp.stack(pooled), jnp.stack(raw1),
+            jnp.stack(raw2) if raw2 else None)
+        self.max_k = min(self._req_max_k + 1, self.index.capacity)
+
+    def remove_images(self, names: list[str]) -> None:
+        """Tombstone corpus images: immediately absent from rankings; their
+        slots are reused by later add_images."""
+        self.index.remove_rows(names)
 
     # ---- internals ---------------------------------------------------------
 
@@ -290,7 +423,8 @@ class CIRServingEngine:
                                    self.s1_params, im))
         preds = self._fuse_pooled(self.s1_params, ref1, jnp.asarray(ids),
                                   jnp.asarray(mask))
-        sims, idx = self._topk(self.index.pooled_s1, preds)
+        sims, idx = self._topk(self.index.pooled_s1, self.index.valid,
+                               preds)
         sims = np.asarray(sims[:n], np.float32)
         idx = np.asarray(idx[:n])
 
@@ -299,7 +433,8 @@ class CIRServingEngine:
         for qi, r in enumerate(requests):
             ranked = [(names[j], float(s))
                       for j, s in zip(idx[qi], sims[qi])
-                      if r.reference is None or names[j] != r.reference]
+                      if np.isfinite(s)  # skip tombstoned/free slots
+                      and (r.reference is None or names[j] != r.reference)]
             ranked = ranked[:r.k]
             results.append(ServeResult(ranking=[nm for nm, _ in ranked],
                                        scores=[s for _, s in ranked]))

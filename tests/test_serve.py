@@ -289,3 +289,121 @@ def test_index_cache_fingerprint_mismatch(stack, tmp_path):
     index.save(p)
     with pytest.raises(ValueError, match="does not match"):
         ServingIndex.load(p, expect_fingerprint={"stage1": "abc"})
+
+
+class _MemDataset:
+    """In-memory 'classic' dataset for index building in tests."""
+    mode = "classic"
+
+    def __init__(self, names, images):
+        self._names = names
+        self._images = images
+        self.index_names = names
+
+    def __len__(self):
+        return len(self._names)
+
+    def __getitem__(self, i):
+        return {"name": self._names[i], "image": self._images[i]}
+
+
+def test_incremental_updates_match_fresh_index(stack):
+    """add_images/remove_images: an incrementally-built index serves the
+    same rankings as a fresh build of the same corpus; removal tombstones
+    take effect immediately; slots are reused; capacity doubles on growth."""
+    from candidate_reranking_cir_tpu.runtime.serve import (
+        CIRServingEngine,
+        ServeRequest,
+        build_serving_index,
+    )
+
+    s1, s1_params, s2, s2_params, tok, _ = stack
+    rng = np.random.default_rng(9)
+    names12 = [f"img{i}" for i in range(12)]
+    imgs12 = (rng.normal(size=(12, IMG, IMG, 3)) * 0.3).astype(np.float32)
+
+    idx_full = build_serving_index(
+        s1, s1_params, _MemDataset(names12, imgs12),
+        reranker=s2, s2_params=s2_params, batch_size=4)
+    idx_inc = build_serving_index(
+        s1, s1_params, _MemDataset(names12[:8], imgs12[:8]),
+        reranker=s2, s2_params=s2_params, batch_size=4)
+
+    eng_full = CIRServingEngine(s1, s1_params, tok, idx_full, text_len=10,
+                                q_pad=2, reranker=s2, s2_params=s2_params,
+                                rerank_k=4, max_k=12)
+    eng_inc = CIRServingEngine(s1, s1_params, tok, idx_inc, text_len=10,
+                               q_pad=2, reranker=s2, s2_params=s2_params,
+                               rerank_k=4, max_k=12)
+
+    assert idx_inc.capacity == 8
+    eng_inc.add_images(names12[8:], imgs12[8:])
+    assert idx_inc.capacity == 16  # grew to the next power of two
+    assert idx_inc.n_valid == 12
+
+    req = ServeRequest(caption="a red dress", reference="img2", k=8)
+    res_full = eng_full.handle([req])[0]
+    res_inc = eng_inc.handle([req])[0]
+    assert res_inc.ranking == res_full.ranking
+    np.testing.assert_allclose(res_inc.scores, res_full.scores,
+                               rtol=1e-4, atol=1e-5)
+    # querying BY a freshly added reference works (its features are indexed)
+    res_new = eng_inc.handle([ServeRequest(caption="blue", reference="img10",
+                                           k=5)])[0]
+    assert len(res_new.ranking) == 5 and "img10" not in res_new.ranking
+
+    # removal: tombstoned immediately, rejected as a reference
+    eng_inc.remove_images(["img5"])
+    assert idx_inc.n_valid == 11
+    res_after = eng_inc.handle([req])[0]
+    assert "img5" not in res_after.ranking
+    with pytest.raises(ValueError, match="unknown reference"):
+        eng_inc.handle([ServeRequest(caption="x", reference="img5")])
+
+    # the freed slot is reused: capacity unchanged by the next addition
+    extra = (rng.normal(size=(1, IMG, IMG, 3)) * 0.3).astype(np.float32)
+    eng_inc.add_images(["img_extra"], extra)
+    assert idx_inc.capacity == 16 and idx_inc.n_valid == 12
+    res_extra = eng_inc.handle([ServeRequest(caption="x",
+                                             reference="img_extra", k=5)])[0]
+    assert len(res_extra.ranking) == 5
+
+    # duplicate-name rejection
+    with pytest.raises(ValueError, match="already indexed"):
+        eng_inc.add_images(["img0"], extra)
+
+
+def test_incremental_index_cache_compacts(stack, tmp_path):
+    from candidate_reranking_cir_tpu.runtime.serve import (
+        CIRServingEngine,
+        ServeRequest,
+        ServingIndex,
+        build_serving_index,
+    )
+
+    s1, s1_params, s2, s2_params, tok, _ = stack
+    rng = np.random.default_rng(11)
+    names = [f"pic{i}" for i in range(6)]
+    imgs = (rng.normal(size=(6, IMG, IMG, 3)) * 0.3).astype(np.float32)
+    idx = build_serving_index(s1, s1_params, _MemDataset(names, imgs),
+                              reranker=s2, s2_params=s2_params, batch_size=3)
+    eng = CIRServingEngine(s1, s1_params, tok, idx, text_len=10, q_pad=2,
+                           reranker=s2, s2_params=s2_params, rerank_k=3,
+                           max_k=6)
+    eng.remove_images(["pic1"])
+    extra = (rng.normal(size=(2, IMG, IMG, 3)) * 0.3).astype(np.float32)
+    eng.add_images(["pic6", "pic7"], extra)
+
+    p = tmp_path / "inc.npz"
+    idx.save(p)
+    back = ServingIndex.load(p)
+    assert sorted(back.names) == sorted(idx.pos)  # compacted: live rows only
+    assert back.capacity == back.n_valid == 7
+
+    eng2 = CIRServingEngine(s1, s1_params, tok, back, text_len=10, q_pad=2,
+                            reranker=s2, s2_params=s2_params, rerank_k=3,
+                            max_k=6)
+    req = ServeRequest(caption="green hat", reference="pic6", k=4)
+    r1 = eng.handle([req])[0]
+    r2 = eng2.handle([req])[0]
+    assert r1.ranking == r2.ranking
