@@ -61,6 +61,10 @@ def parse_args(argv=None):
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--window-ms", type=float, default=3.0,
                         help="http micro-batch coalescing window")
+    parser.add_argument("--enable-admin", action="store_true",
+                        help="expose POST /admin/add and /admin/remove for "
+                             "incremental corpus updates (no auth — front "
+                             "with a real gateway in production)")
     return parser.parse_args(argv)
 
 
@@ -150,6 +154,32 @@ def result_to_json(res) -> dict:
             "reranked": res.reranked}
 
 
+def admin_add(engine, obj) -> dict:
+    """{"names": [...], "paths": [...]} -> decode+preprocess each image with
+    the serving transform, embed, and index. Returns the corpus size."""
+    from PIL import Image
+
+    names = obj.get("names") or []
+    paths = obj.get("paths") or []
+    if not names or len(names) != len(paths):
+        raise ValueError('"names" and "paths" must be non-empty lists of '
+                         "equal length")
+    images = []
+    for p in paths:
+        with Image.open(p) as im:
+            images.append(np.asarray(engine._transform(im), np.float32))
+    engine.add_images(names, np.stack(images))
+    return {"added": len(names), "corpus": engine.index.n_valid}
+
+
+def admin_remove(engine, obj) -> dict:
+    names = obj.get("names") or []
+    if not names:
+        raise ValueError('"names" must be a non-empty list')
+    engine.remove_images(names)
+    return {"removed": len(names), "corpus": engine.index.n_valid}
+
+
 def serve_stdio(engine):
     engine.warmup()
     print("ready", file=sys.stderr, flush=True)
@@ -165,9 +195,12 @@ def serve_stdio(engine):
             print(json.dumps({"error": str(e)}), flush=True)
 
 
-def make_http_server(engine, port: int, window_ms: float):
+def make_http_server(engine, port: int, window_ms: float,
+                     enable_admin: bool = False):
     """ThreadingHTTPServer + micro-batcher; returned unstarted so tests can
-    drive it on an ephemeral port."""
+    drive it on an ephemeral port. Admin endpoints run on the batcher's
+    worker thread strictly between waves, so corpus mutations never
+    interleave with an in-flight wave's result assembly."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from candidate_reranking_cir_tpu.runtime.serve import MicroBatcher
@@ -196,14 +229,24 @@ def make_http_server(engine, port: int, window_ms: float):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/rank":
-                self._send(404, {"error": "not found"})
-                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 obj = json.loads(self.rfile.read(n))
-                res = batcher.submit(request_from_json(engine, obj))
-                self._send(200, result_to_json(res))
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            try:
+                if self.path == "/rank":
+                    res = batcher.submit(request_from_json(engine, obj))
+                    self._send(200, result_to_json(res))
+                elif self.path == "/admin/add" and enable_admin:
+                    self._send(200, batcher.submit_admin(
+                        lambda: admin_add(engine, obj)))
+                elif self.path == "/admin/remove" and enable_admin:
+                    self._send(200, batcher.submit_admin(
+                        lambda: admin_remove(engine, obj)))
+                else:
+                    self._send(404, {"error": "not found"})
             except Exception as e:
                 self._send(400, {"error": str(e)})
 
@@ -222,7 +265,8 @@ def main(argv=None):
         serve_stdio(engine)
     else:
         engine.warmup()
-        server = make_http_server(engine, args.port, args.window_ms)
+        server = make_http_server(engine, args.port, args.window_ms,
+                                  enable_admin=args.enable_admin)
         print(f"serving on :{args.port}", file=sys.stderr, flush=True)
         try:
             server.serve_forever()

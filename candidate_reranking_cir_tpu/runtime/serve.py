@@ -479,6 +479,13 @@ class CIRServingEngine:
             res.reranked = d
 
 
+class _AdminOp:
+    """Queue marker: a corpus mutation to run on the worker between waves."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+
 class MicroBatcher:
     """Thread-safe request coalescing: concurrent callers block on their own
     future while a single worker drains the queue in waves of up to q_pad,
@@ -534,6 +541,20 @@ class MicroBatcher:
             raise slot["error"]
         return slot["result"]
 
+    def submit_admin(self, fn):
+        """Run a corpus mutation ON THE WORKER THREAD, strictly between
+        waves — index updates never interleave with an in-flight wave's
+        host-side result assembly."""
+        if self._stop.is_set():
+            raise RuntimeError("server is shutting down")
+        ev = threading.Event()
+        slot: dict = {}
+        self.q.put((_AdminOp(fn), ev, slot))
+        ev.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
     def _run(self):
         import time
 
@@ -542,7 +563,11 @@ class MicroBatcher:
                 first = self.q.get(timeout=0.1)
             except queue.Empty:
                 continue
+            if isinstance(first[0], _AdminOp):
+                self._run_admin(first)
+                continue
             batch = [first]
+            admin_item = None
             # absolute deadline: the first request waits at most ONE window
             # regardless of how many stragglers trickle in behind it
             deadline = time.monotonic() + self.window
@@ -551,10 +576,16 @@ class MicroBatcher:
                 if remaining <= 0:
                     break
                 try:
-                    batch.append(self.q.get(timeout=remaining))
+                    item = self.q.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if isinstance(item[0], _AdminOp):
+                    admin_item = item  # flush the wave first, then mutate
+                    break
+                batch.append(item)
             self._serve_batch(batch)
+            if admin_item is not None:
+                self._run_admin(admin_item)
         # shutdown: fail anything still queued instead of leaving callers
         # blocked on ev.wait() forever
         while True:
@@ -564,6 +595,14 @@ class MicroBatcher:
                 break
             slot["error"] = RuntimeError("server is shutting down")
             ev.set()
+
+    def _run_admin(self, item):
+        op, ev, slot = item
+        try:
+            slot["result"] = op.fn()
+        except Exception as e:
+            slot["error"] = e
+        ev.set()
 
     def _serve_batch(self, batch):
         reqs = [b[0] for b in batch]

@@ -407,3 +407,77 @@ def test_incremental_index_cache_compacts(stack, tmp_path):
     r1 = eng.handle([req])[0]
     r2 = eng2.handle([req])[0]
     assert r1.ranking == r2.ranking
+
+
+def test_http_admin_endpoints(stack, tmp_path):
+    """POST /admin/add indexes a new image (decoded with the serving
+    transform); /admin/remove tombstones; both 404 unless --enable-admin."""
+    import PIL.Image
+
+    from candidate_reranking_cir_tpu.cli.serve import make_http_server
+    from candidate_reranking_cir_tpu.data.preprocessing import make_transform
+    from candidate_reranking_cir_tpu.runtime.serve import (
+        CIRServingEngine,
+        build_serving_index,
+    )
+
+    s1, s1_params, s2, s2_params, tok, _ = stack
+    rng = np.random.default_rng(21)
+    names = [f"base{i}" for i in range(6)]
+    imgs = (rng.normal(size=(6, IMG, IMG, 3)) * 0.3).astype(np.float32)
+    idx = build_serving_index(s1, s1_params, _MemDataset(names, imgs),
+                              reranker=s2, s2_params=s2_params, batch_size=3)
+    eng = CIRServingEngine(s1, s1_params, tok, idx, text_len=10, q_pad=2,
+                           reranker=s2, s2_params=s2_params, rerank_k=3,
+                           max_k=6)
+    eng._transform = make_transform("targetpad", IMG, 1.25)
+    eng.warmup()
+
+    new_img = tmp_path / "new.jpg"
+    PIL.Image.fromarray(
+        rng.integers(0, 255, size=(40, 36, 3), dtype=np.uint8)).save(new_img)
+
+    def post(port, path, obj):
+        body = json.dumps(obj).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    # admin disabled: 404
+    server0 = make_http_server(eng, 0, window_ms=5, enable_admin=False)
+    port0 = server0.server_address[1]
+    threading.Thread(target=server0.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(port0, "/admin/add", {"names": ["x"],
+                                       "paths": [str(new_img)]})
+        assert e.value.code == 404
+    finally:
+        server0.shutdown()
+        server0.batcher.close()
+
+    server = make_http_server(eng, 0, window_ms=5, enable_admin=True)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        out = post(port, "/admin/add", {"names": ["fresh"],
+                                        "paths": [str(new_img)]})
+        assert out == {"added": 1, "corpus": 7}
+        # the new image is immediately rankable AND usable as a reference
+        res = post(port, "/rank", {"caption": "a red dress",
+                                   "reference": "fresh", "k": 5})
+        assert len(res["ranking"]) == 5 and "fresh" not in res["ranking"]
+        res2 = post(port, "/rank", {"caption": "a red dress",
+                                    "reference": "base0", "k": 6})
+        assert "fresh" in res2["ranking"]
+
+        out = post(port, "/admin/remove", {"names": ["fresh"]})
+        assert out == {"removed": 1, "corpus": 6}
+        res3 = post(port, "/rank", {"caption": "a red dress",
+                                    "reference": "base0", "k": 6})
+        assert "fresh" not in res3["ranking"]
+    finally:
+        server.shutdown()
+        server.batcher.close()
