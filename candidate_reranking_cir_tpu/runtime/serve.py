@@ -288,7 +288,10 @@ class CIRServingEngine:
         self.reranker = reranker
         self.s2_params = s2_params
         # static stage-II depth: one compiled [q_pad, K] grid regardless of
-        # which requests share a wave (per-request k only trims the output)
+        # which requests share a wave (per-request k only trims the output);
+        # recomputed on corpus updates (a corpus grown past the initial size
+        # should re-rank at the full requested depth)
+        self._req_rerank_k = rerank_k
         self.rerank_k = min(rerank_k, max(1, index.n_valid - 1))
         # +1 head-room so removing the reference still leaves max_k results;
         # bounded by capacity (not n_valid) so incremental additions never
@@ -362,11 +365,15 @@ class CIRServingEngine:
             names, jnp.stack(pooled), jnp.stack(raw1),
             jnp.stack(raw2) if raw2 else None)
         self.max_k = min(self._req_max_k + 1, self.index.capacity)
+        self.rerank_k = min(self._req_rerank_k,
+                            max(1, self.index.n_valid - 1))
 
     def remove_images(self, names: list[str]) -> None:
         """Tombstone corpus images: immediately absent from rankings; their
         slots are reused by later add_images."""
         self.index.remove_rows(names)
+        self.rerank_k = min(self._req_rerank_k,
+                            max(1, self.index.n_valid - 1))
 
     # ---- internals ---------------------------------------------------------
 

@@ -481,3 +481,29 @@ def test_http_admin_endpoints(stack, tmp_path):
     finally:
         server.shutdown()
         server.batcher.close()
+
+
+def test_rerank_depth_grows_with_corpus(stack):
+    """An engine built on a tiny corpus re-ranks at the full requested
+    depth once additions make the corpus big enough."""
+    from candidate_reranking_cir_tpu.runtime.serve import (
+        CIRServingEngine,
+        ServeRequest,
+        build_serving_index,
+    )
+
+    s1, s1_params, s2, s2_params, tok, _ = stack
+    rng = np.random.default_rng(33)
+    imgs = (rng.normal(size=(8, IMG, IMG, 3)) * 0.3).astype(np.float32)
+    idx = build_serving_index(s1, s1_params,
+                              _MemDataset([f"t{i}" for i in range(3)],
+                                          imgs[:3]),
+                              reranker=s2, s2_params=s2_params, batch_size=3)
+    eng = CIRServingEngine(s1, s1_params, tok, idx, text_len=10, q_pad=2,
+                           reranker=s2, s2_params=s2_params, rerank_k=5,
+                           max_k=8)
+    assert eng.rerank_k == 2  # capped by the 3-image corpus
+    eng.add_images([f"t{i}" for i in range(3, 8)], imgs[3:])
+    assert eng.rerank_k == 5  # full requested depth after growth
+    res = eng.handle([ServeRequest(caption="x", reference="t0", k=7)])[0]
+    assert res.reranked == 5 and len(res.ranking) == 7
