@@ -69,6 +69,11 @@ index = ServingIndex(
 tok = WordPieceTokenizer(build_test_vocab(
     ["make", "the", "dress", "red", "with", "short", "sleeves", "blue"]))
 tok.overflow = "truncate"
+if "--int8" in sys.argv:
+    index.quantize()
+    print(f"int8 banks: raw_s1+raw_s2 = "
+          f"{(index.raw_s1.nbytes + index.raw_s2.nbytes)/2**20:.0f} MiB "
+          f"(bf16 would be {2*2297*M*W*2/2**20:.0f} MiB)")
 engine = CIRServingEngine(s1, s1_params, tok, index, text_len=L, q_pad=4,
                           reranker=s2, s2_params=s2_params, rerank_k=50)
 t0 = time.perf_counter()
