@@ -24,6 +24,7 @@ step chains synced by a scalar D2H, with the relay RTT subtracted.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -173,6 +174,8 @@ def bench_stage2_eval(rtt):
 
     # warmup run compiles the per-bucket programs; timed run is wall-clock
     # around dispatch-all-then-fetch (the final D2H syncs the device stream)
+    print("bench: compiling eval programs (several minutes through the "
+          "remote-compile relay)...", file=sys.stderr, flush=True)
     rerank_candidate_major(s1, s1_params, s2, s2_params, tok, **kw)
     t0 = time.perf_counter()
     rerank_candidate_major(s1, s1_params, s2, s2_params, tok, **kw)
@@ -245,6 +248,8 @@ def bench_stage2_train(rtt, iters=4):
 
     # rbg dropout keys (the trainer default): threefry mask generation over
     # the pair-grid attention probs costs ~20% of the step
+    print("bench: compiling stage-II train step...", file=sys.stderr,
+          flush=True)
     state, loss = step(state, s1_params, batch, jax.random.key(3, impl="rbg"))
     float(loss)  # compile + sync
     t0 = time.perf_counter()
@@ -315,6 +320,8 @@ def bench_stage1_train(rtt, iters=2):
     state = TrainState.create(params, tx)
     step = make_stage1_train_step(model, finetune_vit=False, donate=True)
 
+    print("bench: compiling stage-I train step...", file=sys.stderr,
+          flush=True)
     state, loss = step(state, batch, jax.random.key(1, impl="rbg"))
     float(loss)
     t0 = time.perf_counter()
