@@ -195,11 +195,16 @@ def main(argv=None):
             if stop.requested:  # preemption: save a resumable state, exit 0
                 # epoch-1 re-enters the interrupted epoch; skip_batches skips
                 # the steps already inside the optimizer state, so nothing is
-                # double-applied and the step-indexed LR schedule stays exact
+                # double-applied and the step-indexed LR schedule stays exact.
+                # steps_done stays 0 while still replaying skips (possible
+                # when the prior preemption hit the epoch's final batch), so
+                # never let a re-preemption lose the recorded skip count.
+                applied = max(steps_done,
+                              skip_batches if epoch == start_epoch else 0)
                 save_checkpoint(
                     training_path / "saved_models" / "blip_last", state,
                     metadata={"epoch": epoch - 1,
-                              "skip_batches": steps_done})
+                              "skip_batches": applied})
                 print(f"preempted ({stop.signal_name}) at epoch {epoch}: "
                       "resumable checkpoint saved; restart with --resume")
                 stop.restore()

@@ -45,15 +45,24 @@ class RerankOutput:
     group_order: np.ndarray | None
 
 
-_FN_CACHE: dict = {}
+_FN_CACHE: dict = {}  # insertion-ordered; hits re-inserted -> LRU order
 _FN_CACHE_MAX = 32  # per-process bound: evaluating many model instances
                     # (e.g. a checkpoint sweep) must not pin programs forever
 
 
 def _cache_put(key, value):
-    if len(_FN_CACHE) >= _FN_CACHE_MAX:
-        _FN_CACHE.clear()
+    while len(_FN_CACHE) >= _FN_CACHE_MAX:
+        # evict least-recently-used only: wholesale clear() would drop the
+        # hot entry too, costing a multi-minute recompile on this rig
+        _FN_CACHE.pop(next(iter(_FN_CACHE)))
     _FN_CACHE[key] = value
+    return value
+
+
+def _cache_get(key):
+    value = _FN_CACHE.pop(key, None)
+    if value is not None:
+        _FN_CACHE[key] = value  # re-insert: mark most-recently-used
     return value
 
 
@@ -65,8 +74,9 @@ def make_rerank_fns(stage1: RetrievalModel, reranker: RerankerModel):
     programs on every evaluation (e.g. per Fashion-IQ category).
     """
     key = ("rerank_fns", id(stage1), id(reranker))
-    if key in _FN_CACHE:
-        return _FN_CACHE[key]
+    cached = _cache_get(key)
+    if cached is not None:
+        return cached
 
     @jax.jit
     def produce_zt(s1_params, ref_feats, ids, mask):
@@ -222,8 +232,9 @@ def make_cand_major_fns(stage1: RetrievalModel, reranker: RerankerModel):
     """Memoized jitted programs for the candidate-major scheduler: the
     all-queries z_t scan and the per-bucket scoring scan."""
     key = ("cand_major_fns", id(stage1), id(reranker))
-    if key in _FN_CACHE:
-        return _FN_CACHE[key]
+    cached = _cache_get(key)
+    if cached is not None:
+        return cached
 
     @jax.jit
     def produce_all_zt(s1_params, feats, ids, mask, ref_rows, row_chunks):
@@ -266,8 +277,9 @@ def make_cand_major_sharded_fns(stage1: RetrievalModel,
     it owns; reference-image rows for z_t are fetched with a masked local
     take + psum (a distributed gather over ICI)."""
     key = ("cand_major_sharded", id(stage1), id(reranker), id(mesh))
-    if key in _FN_CACHE:
-        return _FN_CACHE[key]
+    cached = _cache_get(key)
+    if cached is not None:
+        return cached
     from jax.sharding import PartitionSpec as P
 
     def zt_body(s1_params, feats_shard, ids, mask, ref_rows, row_chunks):

@@ -198,7 +198,9 @@ class ServingIndex:
         live = sorted(self.pos.values())
         rows = np.asarray(live)
         arrs = {
-            "names": np.asarray([self.names[i] for i in live], dtype=object),
+            # str dtype (not object): load() stays allow_pickle=False, so a
+            # tampered cache can never execute code (same rule as topk_io)
+            "names": np.asarray([str(self.names[i]) for i in live]),
             "pooled_s1": np.asarray(self.pooled_s1, np.float32)[rows],
             "raw_s1": np.asarray(self.raw_s1)[rows].view(np.uint16),
             "fingerprint": np.asarray(json.dumps(self.fingerprint or {})),
@@ -216,7 +218,7 @@ class ServingIndex:
 
         import ml_dtypes
 
-        z = np.load(path, allow_pickle=True)
+        z = np.load(path, allow_pickle=False)
         bf16 = lambda a: jnp.asarray(a.view(ml_dtypes.bfloat16))
         stored = (json.loads(str(z["fingerprint"]))
                   if "fingerprint" in z else {})
@@ -391,6 +393,10 @@ class CIRServingEngine:
                              "images)")
         if r.k < 1:
             raise ValueError(f"k must be >= 1, got {r.k}")
+        if r.k > self._req_max_k:
+            raise ValueError(
+                f"k={r.k} exceeds this server's compiled ranking depth "
+                f"max_k={self._req_max_k}; restart with a larger --max-k")
 
     def _ref_feats(self, requests, bank, embed_fn):
         """[B, M, W] reference features: corpus rows by name, or on-the-fly
@@ -504,6 +510,11 @@ class MicroBatcher:
         self.q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._lock = threading.Lock()
+        # taken around every (check _stop, enqueue) pair and by close()
+        # around _stop.set(): once close() holds it, no new item can slip
+        # into the queue after the worker's final drain, so no caller is
+        # ever left blocked on ev.wait()
+        self._submit_lock = threading.Lock()
         self._requests = 0
         self._waves = 0
         self._errors = 0
@@ -533,12 +544,13 @@ class MicroBatcher:
     def submit(self, request: ServeRequest) -> ServeResult:
         import time
 
-        if self._stop.is_set():
-            raise RuntimeError("server is shutting down")
         t0 = time.perf_counter()
         ev = threading.Event()
         slot: dict = {}
-        self.q.put((request, ev, slot))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("server is shutting down")
+            self.q.put((request, ev, slot))
         ev.wait()
         with self._lock:
             self._latencies.append(time.perf_counter() - t0)
@@ -552,11 +564,12 @@ class MicroBatcher:
         """Run a corpus mutation ON THE WORKER THREAD, strictly between
         waves — index updates never interleave with an in-flight wave's
         host-side result assembly."""
-        if self._stop.is_set():
-            raise RuntimeError("server is shutting down")
         ev = threading.Event()
         slot: dict = {}
-        self.q.put((_AdminOp(fn), ev, slot))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("server is shutting down")
+            self.q.put((_AdminOp(fn), ev, slot))
         ev.wait()
         if "error" in slot:
             raise slot["error"]
@@ -634,5 +647,16 @@ class MicroBatcher:
                 ev.set()
 
     def close(self):
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         self.worker.join(timeout=5)
+        # items enqueued before _stop became visible but after the worker's
+        # final drain (or if the worker died): fail them rather than leave
+        # their callers blocked forever
+        while True:
+            try:
+                _, ev, slot = self.q.get_nowait()
+            except queue.Empty:
+                break
+            slot["error"] = RuntimeError("server is shutting down")
+            ev.set()
