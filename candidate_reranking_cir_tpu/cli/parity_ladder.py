@@ -9,6 +9,9 @@ validate_stage2.py, and byte-compare the generated test1 submissions with
 files", Instructions_CIRR.md:164). This CLI runs that whole ladder in one
 invocation:
 
+  rung 0  reference-code differential: run the reference's own med.py /
+          nlvr_encoder.py / blip_stage{1,2}.py on CPU vs this framework
+          at full config (needs only --reference-src, no artifacts)
   rung 1  convert the stage-I torch checkpoint       (--stage1-ckpt)
   rung 2  convert the stage-II torch checkpoint      (--stage2-ckpt)
   rung 3  stage-I CIRR-val metrics + top-K extraction (--data-root)
@@ -65,6 +68,10 @@ def parse_args(argv=None):
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--report", type=str, default="parity_report.json")
     parser.add_argument("--work-dir", type=str, default="parity_work")
+    parser.add_argument("--reference-src", type=str,
+                        default="/root/reference/src",
+                        help="reference repo's src/ for the rung-0 "
+                             "code-differential (skipped if absent)")
     return parser.parse_args(argv)
 
 
@@ -117,6 +124,23 @@ def main(argv=None):
     tokenizer = get_tokenizer(args)
     transform = get_transform(args)
     mesh = get_mesh(args)
+
+    # ---- rung 0: reference-code differential (no artifacts needed) ---------
+    from candidate_reranking_cir_tpu.runtime import reference_diff
+
+    if not reference_diff.reference_available(args.reference_src):
+        ladder.record("reference_differential", "skip",
+                      reason=f"reference sources not at {args.reference_src}")
+    else:
+        try:
+            recs = reference_diff.run_all(args.reference_src)
+            bad = [r for r in recs if not r["pass"]]
+            ladder.record(
+                "reference_differential", "fail" if bad else "pass",
+                checks={r["check"]: {"max_abs": r["max_abs"],
+                                     "cosine": r["cosine"]} for r in recs})
+        except Exception as e:
+            ladder.record("reference_differential", "fail", error=repr(e))
 
     # ---- rung 1/2: checkpoint conversion -----------------------------------
     stage1, s1_cfg = build_stage1(args)
