@@ -52,9 +52,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
     assert args.dataset.lower() == "cirr"
 
+    tokenizer = get_tokenizer(args)  # cheap fail-fast before ckpt IO
     model, cfg = build_stage1(args)
     params = load_params(args.stage1_path, 1, cfg)
-    tokenizer = get_tokenizer(args)
     transform = get_transform(args)
 
     classic = CIRRDataset(args.data_root, "test1", "classic", transform)

@@ -36,7 +36,13 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--transform", default="targetpad", type=str,
                         help="'squarepad' or 'targetpad'")
     parser.add_argument("--vocab", type=str, default="",
-                        help="path to bert-base-uncased vocab.txt")
+                        help="path to bert-base-uncased vocab.txt (fetch "
+                             "with cli.fetch_vocab)")
+    parser.add_argument("--allow-test-vocab", action="store_true",
+                        help="run with the ~90-token unit-test vocabulary "
+                             "instead of a real vocab file — outputs are "
+                             "meaningless; for smoke tests only (env: "
+                             "CIR_ALLOW_TEST_VOCAB=1)")
     parser.add_argument("--vit", type=str, default="base")
     parser.add_argument("--image-size", type=int, default=384)
     parser.add_argument("--text-len", type=int, default=40,
@@ -205,7 +211,15 @@ def text_bucket_slice(ids, mask, buckets: tuple[int, ...]):
 
 
 def get_tokenizer(args):
-    tok = load_tokenizer(args.vocab or None)
+    import os
+
+    allow_test = (getattr(args, "allow_test_vocab", False)
+                  or os.environ.get("CIR_ALLOW_TEST_VOCAB") == "1")
+    tok = load_tokenizer(args.vocab or None, allow_test_vocab=allow_test)
+    if allow_test and not args.vocab:
+        print("WARNING: running with the unit-test toy vocabulary "
+              "(--allow-test-vocab); all text-derived outputs are "
+              "meaningless", flush=True)
     tok.overflow = getattr(args, "text_overflow", "error")
     return tok
 

@@ -286,6 +286,8 @@ def main(argv=None):
                 common += ["--model-config", args.model_config]
             if args.vocab:
                 common += ["--vocab", args.vocab]
+            elif getattr(args, "allow_test_vocab", False):
+                common += ["--allow-test-vocab"]
             test1_topk = work / f"cirr_top_{args.k_extract}_test1.npz"
             cirr_test_submission.main(common + [
                 "--stage1-path", args.stage1_ckpt,

@@ -77,13 +77,13 @@ def make_engine(args):
     )
     from pathlib import Path
 
+    tokenizer = get_tokenizer(args)  # cheap fail-fast before ckpt IO
     stage1, s1_cfg = build_stage1(args)
     s1_params = load_params(args.stage1_path, 1, s1_cfg)
     reranker = s2_params = None
     if args.stage2_path:
         reranker, s2_cfg = build_stage2(args)
         s2_params = load_params(args.stage2_path, 2, s2_cfg)
-    tokenizer = get_tokenizer(args)
     transform = get_transform(args)
 
     fingerprint = {

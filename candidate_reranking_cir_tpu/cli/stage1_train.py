@@ -118,8 +118,8 @@ def main(argv=None):
     dataset_name = args.dataset.lower()
     assert dataset_name in ("cirr", "fashioniq")
 
+    tokenizer = get_tokenizer(args)  # cheap fail-fast before ckpt IO
     model, cfg = build_stage1(args, remat=True)
-    tokenizer = get_tokenizer(args)
     transform = get_transform(args)
 
     train_cfg = TrainConfig(

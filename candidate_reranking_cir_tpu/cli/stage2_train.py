@@ -103,9 +103,9 @@ def main(argv=None):
     dataset_name = args.dataset.lower()
     assert dataset_name in ("cirr", "fashioniq")
 
+    tokenizer = get_tokenizer(args)  # cheap fail-fast before ckpt IO
     stage1, s1_cfg = build_stage1(args)
     reranker, s2_cfg = build_stage2(args, remat=True)
-    tokenizer = get_tokenizer(args)
     transform = get_transform(args)
 
     s1_params = load_params(args.stage1_path, 1, s1_cfg)

@@ -48,9 +48,9 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=32)
     args = parser.parse_args(argv)
 
+    tokenizer = get_tokenizer(args)  # cheap fail-fast before ckpt IO
     model, cfg = build_stage1(args)
     params = load_params(args.stage1_path, 1, cfg)
-    tokenizer = get_tokenizer(args)
     transform = get_transform(args)
     mesh = get_mesh(args)
     k = args.k if args.save_topk else None

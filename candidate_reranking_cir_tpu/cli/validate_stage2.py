@@ -58,11 +58,11 @@ def main(argv=None):
         parser.error("--index-int8 and --shard-index are mutually exclusive "
                      "(quantize halves the bank instead of sharding it)")
 
+    tokenizer = get_tokenizer(args)  # cheap fail-fast before ckpt IO
     stage1, s1_cfg = build_stage1(args)
     reranker, s2_cfg = build_stage2(args)
     s1_params = load_params(args.stage1_path, 1, s1_cfg)
     s2_params = load_params(args.stage2_path, 2, s2_cfg)
-    tokenizer = get_tokenizer(args)
     transform = get_transform(args)
     mesh = get_mesh(args)
     l_buckets = parse_l_buckets(args.l_buckets)

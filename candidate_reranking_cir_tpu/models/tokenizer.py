@@ -247,11 +247,25 @@ def build_test_vocab(extra_words: list[str] | None = None) -> dict[str, int]:
 
 
 def load_tokenizer(vocab_path: str | Path | None = None, *,
-                   prefer_native: bool = True):
+                   prefer_native: bool = True,
+                   allow_test_vocab: bool = False):
     """Load the production tokenizer from a vocab file (the native C++
-    implementation when built — same encode() contract, ~16x faster), or a
-    clearly-marked test tokenizer when no vocab is available."""
-    if vocab_path and Path(vocab_path).exists():
+    implementation when built — same encode() contract, ~16x faster).
+
+    No vocab is a hard error unless ``allow_test_vocab=True`` explicitly opts
+    into the ~90-token unit-test vocabulary: real text encoded with the toy
+    vocab produces structurally valid but semantically garbage ids, so a
+    production run that silently fell back would emit plausible-looking yet
+    meaningless metrics. A nonexistent path is equally an error (a typo must
+    not degrade to the toy vocab)."""
+    if vocab_path:
+        vocab_path = Path(vocab_path)
+        if not vocab_path.exists():
+            raise FileNotFoundError(
+                f"vocab file not found: {vocab_path} — fetch "
+                "bert-base-uncased's vocab.txt with "
+                "`python -m candidate_reranking_cir_tpu.cli.fetch_vocab` "
+                "or point --vocab at an existing copy")
         if prefer_native:
             try:
                 from candidate_reranking_cir_tpu.models.native_tokenizer \
@@ -262,4 +276,11 @@ def load_tokenizer(vocab_path: str | Path | None = None, *,
             except Exception:
                 pass
         return WordPieceTokenizer.from_vocab_file(vocab_path)
+    if not allow_test_vocab:
+        raise ValueError(
+            "no vocab file given: pass --vocab <path to bert-base-uncased "
+            "vocab.txt> (fetch one with `python -m "
+            "candidate_reranking_cir_tpu.cli.fetch_vocab`), or opt into the "
+            "unit-test toy vocabulary explicitly with --allow-test-vocab "
+            "(metrics computed with it are meaningless)")
     return WordPieceTokenizer(build_test_vocab())

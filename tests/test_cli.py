@@ -95,6 +95,7 @@ def workdir(tmp_path_factory):
 
 def _common(workdir):
     return ["--dataset", "CIRR", "--data-root", str(workdir),
+            "--allow-test-vocab",
             "--image-size", str(IMG), "--text-len", "10", "--no-bf16",
             "--model-config", str(workdir / "model_config.json")]
 
@@ -225,6 +226,10 @@ def test_parity_ladder_self_consistent(workdir, tmp_path, capsys):
         "--batch-size", "4"])
 
     ladder_args = _common(workdir) + [
+        # rung 0 (the reference-code differential) is covered directly by
+        # tests/test_reference_differential.py; skipping it here keeps this
+        # test from re-running the full-config torch comparison 3x
+        "--reference-src", str(workdir / "no_reference_here"),
         "--stage1-ckpt", str(workdir / "ckpt_s1"),
         "--stage2-ckpt", str(workdir / "ckpt_s2"),
         "--reference-topk", str(ref_topk),

@@ -65,6 +65,7 @@ def root(tmp_path_factory):
 
 def _common(root):
     return ["--dataset", "CIRR", "--data-root", str(root),
+            "--allow-test-vocab",
             "--image-size", str(IMG), "--text-len", "10", "--no-bf16",
             "--model-config", str(root / "model_config.json")]
 
