@@ -104,3 +104,82 @@ def test_corrupt_image_dropped_and_backfilled(tmp_path):
     # query 4 (corrupt reference im4) never appears
     all_caps = [c for b in batches for c in b["caption"]]
     assert "a red dress 4" not in all_caps
+
+
+# ---------------------------------------------------------------------------
+# labels mode (the notebook's Fig-8 math on the PUBLISHED artifacts)
+
+
+def test_target_delta_synthetic():
+    from analysis.plot_ranking_delta import (
+        target_delta_by_initial_index,
+        target_positions,
+    )
+
+    k = 10
+    labels1 = np.zeros((4, k)); labels2 = np.zeros((4, k))
+    # q0: 5 -> 1 (delta +4); q1: 5 -> 7 (delta -2); q2: 0 -> 0;
+    # q3: target absent from stage-II top-K -> dropped
+    labels1[0, 5] = labels1[1, 5] = labels1[2, 0] = labels1[3, 2] = 1
+    labels2[0, 1] = labels2[1, 7] = labels2[2, 0] = 1
+    deltas, counts, summary = target_delta_by_initial_index(
+        target_positions(labels1), target_positions(labels2), k)
+    assert counts[5] == 2 and deltas[5] == 5 - (1 + 7) / 2
+    assert counts[0] == 1 and deltas[0] == 0
+    assert summary["dropped"] == 1 and summary["aligned"] == 3
+    assert summary["brings_forward"] == pytest.approx(
+        (5 + 5 + 0) / 3 - (1 + 7 + 0) / 3)
+
+
+def test_load_labels_npz_and_pt(tmp_path):
+    from analysis.plot_ranking_delta import load_labels
+
+    lab = np.eye(6, 8, k=1, dtype=np.float32)
+    np.savez(tmp_path / "l.npz", labels=lab)
+    np.testing.assert_array_equal(load_labels(tmp_path / "l.npz"), lab)
+
+    torch = pytest.importorskip("torch")
+    torch.save(torch.tensor(lab), tmp_path / "l.pt")
+    np.testing.assert_array_equal(load_labels(tmp_path / "l.pt"), lab)
+    torch.save({"labels": torch.tensor(lab), "other": 1},
+               tmp_path / "l2.pt")
+    np.testing.assert_array_equal(load_labels(tmp_path / "l2.pt"), lab)
+
+
+REF_LABELS = "/root/reference/analysis_plot/cirr_stageII_labels_val.pt"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_LABELS),
+                    reason="published analysis artifacts not present")
+def test_reads_published_stage2_labels(tmp_path, capsys):
+    """End-to-end labels mode against the reference's PUBLISHED CIRR
+    stage-II labels artifact (4181 val queries x top-200, one-hot)."""
+    from analysis.plot_ranking_delta import (
+        load_labels,
+        main,
+        target_positions,
+    )
+
+    lab2 = load_labels(REF_LABELS)
+    assert lab2.shape == (4181, 200)
+    rowsum = lab2.sum(axis=1)
+    assert set(np.unique(rowsum)) <= {0.0, 1.0}  # one-hot or absent
+    pos2 = target_positions(lab2)
+    present = pos2[pos2 >= 0]
+    # the published stage-II re-ranker solves most val queries inside K=50
+    assert (present < 50).mean() > 0.5
+
+    # synthetic stage-I labels stand in for cirr_top_200_val.pt (not
+    # shipped in-repo); exercises the full CLI path on the real file
+    rng = np.random.default_rng(0)
+    lab1 = np.zeros_like(lab2)
+    lab1[np.arange(4181), rng.integers(0, 200, 4181)] = 1
+    import torch
+
+    torch.save({"labels": torch.tensor(lab1)}, tmp_path / "s1.pt")
+    out = tmp_path / "fig8.png"
+    main(["--labels-stage1", str(tmp_path / "s1.pt"),
+          "--labels-stage2", REF_LABELS, "--out", str(out)])
+    text = capsys.readouterr().out
+    assert "brings_forward" in text
+    assert out.exists() or "values" in text
