@@ -122,3 +122,88 @@ def test_save_torch_checkpoint_roundtrip(tmp_path):
     loaded = convert.load_torch_state(str(p))
     np.testing.assert_array_equal(loaded["visual_encoder.norm.weight"],
                                   sd["visual_encoder.norm.weight"])
+
+
+def test_convert_vit_npz_matches_timm_path():
+    """The original-JAX .npz ViT importer (reference vit.py:201-278
+    capability) must produce the SAME parameter tree as the
+    torch/timm-layout converter given equivalent weights — cross-validating
+    the npz key map against the HF-parity-tested timm path, and the tree
+    must drive VisionTransformer.apply."""
+    import jax
+    import jax.numpy as jnp
+
+    from candidate_reranking_cir_tpu.config import ViTConfig
+    from candidate_reranking_cir_tpu.models.vit import VisionTransformer
+    from candidate_reranking_cir_tpu.runtime import convert
+
+    rng = np.random.default_rng(0)
+    layers, heads, d, p, img = 2, 4, 32, 4, 16
+    n_patches = (img // p) ** 2
+    hd = d // heads
+    r = lambda *s: rng.normal(scale=0.05, size=s).astype(np.float32)
+
+    conv = r(d, 3, p, p)
+    cls, pos = r(1, 1, d), r(1, n_patches + 1, d)
+    sd = {"v.patch_embed.proj.weight": conv,
+          "v.patch_embed.proj.bias": r(d),
+          "v.cls_token": cls, "v.pos_embed": pos,
+          "v.norm.weight": r(d), "v.norm.bias": r(d)}
+    npz = {"embedding/kernel": conv.transpose(2, 3, 1, 0),
+           "embedding/bias": sd["v.patch_embed.proj.bias"],
+           "cls": cls,
+           "Transformer/posembed_input/pos_embedding": pos,
+           "Transformer/encoder_norm/scale": sd["v.norm.weight"],
+           "Transformer/encoder_norm/bias": sd["v.norm.bias"]}
+    for i in range(layers):
+        pre = f"v.blocks.{i}"
+        qkv_w, qkv_b = r(3 * d, d), r(3 * d)
+        proj_w, proj_b = r(d, d), r(d)
+        sd |= {f"{pre}.attn.qkv.weight": qkv_w,
+               f"{pre}.attn.qkv.bias": qkv_b,
+               f"{pre}.attn.proj.weight": proj_w,
+               f"{pre}.attn.proj.bias": proj_b,
+               f"{pre}.norm1.weight": r(d), f"{pre}.norm1.bias": r(d),
+               f"{pre}.norm2.weight": r(d), f"{pre}.norm2.bias": r(d),
+               f"{pre}.mlp.fc1.weight": r(4 * d, d),
+               f"{pre}.mlp.fc1.bias": r(4 * d),
+               f"{pre}.mlp.fc2.weight": r(d, 4 * d),
+               f"{pre}.mlp.fc2.bias": r(d)}
+        b = f"Transformer/encoderblock_{i}/"
+        a = b + "MultiHeadDotProductAttention_1/"
+        for name, sl in (("query", slice(0, d)), ("key", slice(d, 2 * d)),
+                         ("value", slice(2 * d, 3 * d))):
+            npz[a + f"{name}/kernel"] = np.ascontiguousarray(
+                qkv_w[sl].T).reshape(d, heads, hd)
+            npz[a + f"{name}/bias"] = qkv_b[sl].reshape(heads, hd)
+        npz[a + "out/kernel"] = np.ascontiguousarray(
+            proj_w.T).reshape(heads, hd, d)
+        npz[a + "out/bias"] = proj_b
+        npz |= {b + "LayerNorm_0/scale": sd[f"{pre}.norm1.weight"],
+                b + "LayerNorm_0/bias": sd[f"{pre}.norm1.bias"],
+                b + "LayerNorm_2/scale": sd[f"{pre}.norm2.weight"],
+                b + "LayerNorm_2/bias": sd[f"{pre}.norm2.bias"],
+                b + "MlpBlock_3/Dense_0/kernel": np.ascontiguousarray(
+                    sd[f"{pre}.mlp.fc1.weight"].T),
+                b + "MlpBlock_3/Dense_0/bias": sd[f"{pre}.mlp.fc1.bias"],
+                b + "MlpBlock_3/Dense_1/kernel": np.ascontiguousarray(
+                    sd[f"{pre}.mlp.fc2.weight"].T),
+                b + "MlpBlock_3/Dense_1/bias": sd[f"{pre}.mlp.fc2.bias"]}
+
+    from_timm = convert.convert_vit(sd, "v", layers, heads, n_patches)
+    from_npz = convert.convert_vit_npz(npz, layers, n_patches)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(from_timm)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(from_npz)[0]
+    assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
+    for (k, va), (_, vb) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=str(k))
+
+    model = VisionTransformer(ViTConfig(
+        image_size=img, patch_size=p, hidden_size=d, num_layers=layers,
+        num_heads=heads, mlp_ratio=4.0))
+    out = model.apply({"params": from_npz},
+                      jnp.asarray(rng.normal(size=(2, img, img, 3)),
+                                  jnp.float32))
+    assert out.shape == (2, n_patches + 1, d)
