@@ -1,4 +1,4 @@
-"""Benchmarks for the three hot paths. Prints one JSON line each:
+"""Benchmarks for the four hot paths. Prints one JSON line each:
 
 1. stage2_rerank_triplets_per_sec — the headline: stage-II re-rank scoring
    driven through the production candidate-major scheduler
@@ -11,15 +11,26 @@
    embeds + dual pair grid + AdamW, layer remat).
 3. stage1_train_pairs_per_sec — full jitted stage-I train step at the
    reference config (B=512, frozen ViT, contrastive CE).
+4. stage1_eval_queries_per_sec — the reference's validation hot loop
+   (validate.py:201-204, utils.py:25-72) at CIRR-val scale: full-corpus ViT
+   index build (N=2297) + per-query fusion (N_q=4181) + full ranking.
 
-``vs_baseline`` for the headline is measured / A100 FLOP-model estimate of
-the reference (see BASELINE.md "Stage-II throughput baseline"). Training
-lines report vs the same-path r1 measurements recorded in BASELINE.md.
+Every line's ``vs_baseline`` is measured / an A100 FLOP-model estimate of
+the REFERENCE implementation on its published hardware (1x A100,
+README.md:130): exact matmul FLOP counts of the reference's algorithm
+(incl. its per-pair candidate K/V recomputation and per-epoch target
+re-embedding) at an optimistic 50% MFU of A100's 312 TFLOP/s bf16 peak.
+See BASELINE.md "FLOP-model baselines" for the derivation and why 50% is
+generous to an eager per-row loop. Every line also emits ``tflops`` (this
+framework's OWN model FLOPs — amortized K/V, cached targets, i.e. the work
+we actually schedule — per second) and ``mfu`` (tflops / 197 TF/s v5e-1
+bf16 peak) so perf claims are auditable.
 
 Timing: the remote-TPU relay does not honor block_until_ready, so the eval
-path is timed as host wall-clock around dispatch-everything-then-fetch (the
-final D2H transfers synchronize), and the train steps as data-dependent
-step chains synced by a scalar D2H, with the relay RTT subtracted.
+paths are timed as host wall-clock around dispatch-everything-then-fetch
+(the final D2H transfers synchronize), and the train steps as
+data-dependent step chains synced by a scalar D2H, with the relay RTT
+subtracted.
 """
 from __future__ import annotations
 
@@ -31,25 +42,55 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Generous FLOP model of the reference implementation's stage-II scoring on
-# one A100 (see BASELINE.md): per dual-encoder layer, candidate cross-attn K/V
-# projections 2.72 GFLOP (L-independent; the reference recomputes them per
-# (query, candidate) pair) + ~0.4 GFLOP of L-proportional work at L=40
-# (self-attn, Q/out projections, merges, FFN), 12 layers, at an optimistic
-# 50% bf16 MFU of A100's 312 TFLOP/s peak. The reference evaluates every
-# query at its own caption length (validate_stage2.py is bs=1 with
-# pad-to-longest), so the baseline is computed over the SAME caption-length
-# sample the benchmark workload uses — apples-to-apples.
 A100_PEAK_FLOPS = 312e12
-A100_MFU = 0.5
+A100_MFU = 0.5           # generous: the reference is an eager per-row loop
+A100_EFF = A100_PEAK_FLOPS * A100_MFU
+V5E_PEAK_FLOPS = 197e12  # v5e bf16 dense peak (per chip)
+
+# model dims (med_config.json / ViT-B-16 @ 384)
+D, S, NL = 768, 577, 12  # hidden, image tokens (24^2+1), layers
 
 
-def a100_baseline_tps(lengths: np.ndarray) -> float:
-    flops = 12 * (2.72e9 + 0.4e9 * lengths / 40.0)
-    return A100_PEAK_FLOPS * A100_MFU / float(flops.mean())
-# r1 measured train-step rates (BASELINE.md), for regression tracking.
-R1_STAGE2_TRAIN_TRIPLETS_PER_SEC = 378.0
-R1_STAGE1_TRAIN_PAIRS_PER_SEC = 185.0
+# ---------------------------------------------------------------------------
+# FLOP accounting (matmul terms only; LN/softmax/gelu excluded on BOTH sides)
+
+
+def vit_fwd_flops(s=S, d=D, layers=NL) -> float:
+    """ViT-B/16 forward: patch embed + per layer qkv/out (8sd^2),
+    scores+apply (4s^2 d), MLP ratio 4 (16sd^2)."""
+    patch = 2 * (s - 1) * (16 * 16 * 3) * d
+    per_layer = 8 * s * d * d + 4 * s * s * d + 16 * s * d * d
+    return patch + layers * per_layer
+
+
+def med_fwd_flops(l: float, s=S, d=D, layers=NL) -> float:
+    """MED multimodal forward at caption length l (med.py:414-508):
+    self-attn + cross-attn (K/V over the s image tokens: the 4sd^2 term
+    dominates at small l) + FFN."""
+    self_ = 8 * l * d * d + 4 * l * l * d
+    cross = 4 * l * d * d + 4 * s * d * d + 4 * l * s * d
+    ffn = 16 * l * d * d
+    return layers * (self_ + cross + ffn)
+
+
+def dual_fwd_flops(l: float, kv_share: float = 1.0, s=S, d=D,
+                   layers=NL) -> float:
+    """Dual-stream encoder forward per (query, candidate) pair
+    (nlvr_encoder.py:225-478): twin self-attn, twin cross-attn whose
+    candidate K/V projections cost 2 * 4sd^2 — ``kv_share`` is the fraction
+    of that cost actually paid per pair (1.0 = recomputed for every pair,
+    the reference's loop, blip_stage2.py:78-136; 1/B = computed once per
+    candidate and broadcast, this framework's pair grid), shared FFN on both
+    streams, and the MLP merge (layers 6-11)."""
+    self_ = 2 * (8 * l * d * d + 4 * l * l * d)
+    cross = 2 * (4 * l * d * d + 4 * s * d * d * kv_share + 4 * l * s * d)
+    ffn = 2 * 16 * l * d * d
+    merge = 2 * l * d * d  # Linear(2D->D) on l tokens, half the layers
+    return layers * (self_ + cross + ffn + merge)
+
+
+# ---------------------------------------------------------------------------
+# harness helpers
 
 
 def measure_rtt():
@@ -74,12 +115,17 @@ def rand_params(shapes, key):
         for k, s in zip(keys, leaves)])
 
 
-def emit(metric, value, unit, baseline):
+def emit(metric, value, unit, baseline, our_flops_per_unit):
+    """our_flops_per_unit: this framework's OWN per-unit model FLOPs (its
+    algorithm, not the reference's) — tflops/mfu report what we schedule."""
+    achieved = value * our_flops_per_unit
     print(json.dumps({
         "metric": metric,
         "value": round(value, 1),
         "unit": unit,
         "vs_baseline": round(value / baseline, 3),
+        "tflops": round(achieved / 1e12, 1),
+        "mfu": round(achieved / V5E_PEAK_FLOPS, 3),
     }), flush=True)
 
 
@@ -117,13 +163,41 @@ def caption_lengths(n: int, max_len: int) -> np.ndarray:
                    max_len).astype(np.int32)
 
 
+def _stage1_models(train: bool):
+    from candidate_reranking_cir_tpu.config import (
+        RetrievalModelConfig,
+        TextEncoderConfig,
+        vit_config,
+    )
+    from candidate_reranking_cir_tpu.models.blip_retrieval import (
+        RetrievalModel,
+    )
+
+    if train:
+        # no 'dots' policy here: at bs=512 the saved cross-attn K/V
+        # projections (~11 GB) blow HBM — stage I stays full-recompute remat
+        cfg = RetrievalModelConfig(
+            vit=vit_config("base", 384, remat=True, fused_attention=True),
+            text=TextEncoderConfig(remat=True))
+    else:
+        cfg = RetrievalModelConfig(
+            vit=vit_config("base", 384, fused_attention=True))
+    return RetrievalModel(cfg, dtype=jnp.bfloat16), cfg
+
+
+# ---------------------------------------------------------------------------
+# 1. stage-II re-rank evaluation (headline)
+
+
 def bench_stage2_eval(rtt):
-    from candidate_reranking_cir_tpu.config import RerankerModelConfig
+    from candidate_reranking_cir_tpu.config import (
+        RerankerModelConfig,
+        RetrievalModelConfig,
+    )
     from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
     from candidate_reranking_cir_tpu.models.blip_retrieval import (
         RetrievalModel,
     )
-    from candidate_reranking_cir_tpu.config import RetrievalModelConfig
     from candidate_reranking_cir_tpu.retrieval.rerank import (
         rerank_candidate_major,
     )
@@ -172,6 +246,28 @@ def bench_stage2_eval(rtt):
               index_names=index_names, text_len=L, group_members=groups)
     n_pairs = n_q * (k + 5)
 
+    # A100 baseline: the reference scores each pair at its query's OWN
+    # caption length (validate_stage2.py is bs=1 + pad-to-longest),
+    # recomputing candidate K/V per pair (kv_share=1), plus the per-query
+    # z_t production (validate_stage2.py:244) amortized over its K+5 pairs.
+    ref_flops = (dual_fwd_flops(lengths.astype(np.float64), 1.0)
+                 + med_fwd_flops(lengths.astype(np.float64)) / (k + 5))
+    baseline = A100_EFF / float(ref_flops.mean())
+
+    # our own work: pairs run at their L-bucket's padded width, and each
+    # candidate's K/V projections are paid once per (candidate, query-chunk)
+    # rather than per pair. ~100 queries/candidate split into q_buckets
+    # chunks (e.g. 100 -> 64+32+4) => ~3 K/V instances per candidate.
+    p50, p90 = np.percentile(lengths, [50, 90])
+    bucket = lambda x: min(int(-(-x // 8) * 8), L)
+    edges = sorted({bucket(p50), bucket(p90), L})
+    widths = np.asarray([next(e for e in edges if e >= ln)
+                         for ln in lengths], np.float64)
+    kv_instances = 3.0 * n_idx
+    our_flops = (dual_fwd_flops(widths, 0.0).mean()
+                 + dual_fwd_flops(0.0, 1.0) * kv_instances / n_pairs
+                 + med_fwd_flops(widths).mean() / (k + 5))
+
     # warmup run compiles the per-bucket programs; timed run is wall-clock
     # around dispatch-all-then-fetch (the final D2H syncs the device stream)
     print("bench: compiling eval programs (several minutes through the "
@@ -181,7 +277,11 @@ def bench_stage2_eval(rtt):
     rerank_candidate_major(s1, s1_params, s2, s2_params, tok, **kw)
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     emit("stage2_rerank_triplets_per_sec", n_pairs / dt, "triplets/s",
-         a100_baseline_tps(lengths))
+         baseline, our_flops)
+
+
+# ---------------------------------------------------------------------------
+# 2. stage-II train step
 
 
 def bench_stage2_train(rtt, iters=4):
@@ -227,7 +327,8 @@ def bench_stage2_train(rtt, iters=4):
     mask_np = (np.arange(L)[None, :] < lens[:, None]).astype(np.int32)
     ids_np, mask_np = text_bucket_slice(ids_np * mask_np, mask_np,
                                         parse_text_buckets("auto", L))
-    L = ids_np.shape[1]
+    l_ours = ids_np.shape[1]     # our padded bucket width
+    l_ref = float(lens.max())    # the reference pads to the batch's longest
     batch = {
         "ref_images": jnp.asarray(rng.normal(size=(b, im, im, 3)) * 0.3,
                                   jnp.float32),
@@ -238,13 +339,27 @@ def bench_stage2_train(rtt, iters=4):
     }
     s1_params = s1.init(jax.random.key(1), batch["ref_images"][:2],
                         batch["input_ids"][:2], batch["attention_mask"][:2])
-    z_dummy = jnp.zeros((2, L, s2_cfg.text.hidden_size))
+    z_dummy = jnp.zeros((2, l_ours, s2_cfg.text.hidden_size))
     s2_params = s2.init(jax.random.key(2), batch["target_images"][:2],
                         batch["input_ids"][:2], batch["attention_mask"][:2],
                         z_dummy)
     tx, _ = make_optimizer(TrainConfig(batch_size=b), s2_params, 100)
     state = TrainState.create(s2_params, tx)
     step = make_stage2_train_step(s1, s2, donate=True)
+
+    # A100 baseline (stage2_train.py:434-480 + blip_stage2.py:78-99): per
+    # B x B step the reference runs 2B frozen ViT forwards (ref + target),
+    # B frozen stage-I fusion forwards (z_t), then B sequential dual-encoder
+    # calls scoring B pairs each — fwd+bwd (3x) with candidate K/V
+    # recomputed per pair — all padded to the batch's longest caption.
+    ref_per_triplet = (3.0 * dual_fwd_flops(l_ref, 1.0)
+                       + (med_fwd_flops(l_ref) + 2 * vit_fwd_flops()) / b)
+    baseline = A100_EFF / ref_per_triplet
+    # ours: same step algorithmically restructured — candidate K/V once per
+    # candidate (kv_share=1/B), pair grid at the bucket width. (Remat
+    # recompute is excluded, the standard 3x-forward MFU convention.)
+    our_per_triplet = (3.0 * dual_fwd_flops(l_ours, 1.0 / b)
+                       + (med_fwd_flops(l_ours) + 2 * vit_fwd_flops()) / b)
 
     # rbg dropout keys (the trainer default): threefry mask generation over
     # the pair-grid attention probs costs ~20% of the step
@@ -259,19 +374,15 @@ def bench_stage2_train(rtt, iters=4):
     float(loss)
     dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
     emit("stage2_train_triplets_per_sec", b * b / dt, "triplets/s",
-         R1_STAGE2_TRAIN_TRIPLETS_PER_SEC)
+         baseline, our_per_triplet)
+
+
+# ---------------------------------------------------------------------------
+# 3. stage-I train step
 
 
 def bench_stage1_train(rtt, iters=2):
-    from candidate_reranking_cir_tpu.config import (
-        RetrievalModelConfig,
-        TextEncoderConfig,
-        TrainConfig,
-        vit_config,
-    )
-    from candidate_reranking_cir_tpu.models.blip_retrieval import (
-        RetrievalModel,
-    )
+    from candidate_reranking_cir_tpu.config import TrainConfig
     from candidate_reranking_cir_tpu.runtime.optim import make_optimizer
     from candidate_reranking_cir_tpu.runtime.train_steps import (
         TrainState,
@@ -279,12 +390,7 @@ def bench_stage1_train(rtt, iters=2):
     )
 
     b = 512  # reference stage-I config (Instructions_CIRR.md:18-26)
-    # no 'dots' policy here: at bs=512 the saved cross-attn K/V projections
-    # (~11 GB) blow HBM — stage I stays full-recompute remat
-    cfg = RetrievalModelConfig(
-        vit=vit_config("base", 384, remat=True, fused_attention=True),
-        text=TextEncoderConfig(remat=True))
-    model = RetrievalModel(cfg, dtype=jnp.bfloat16)
+    model, cfg = _stage1_models(train=True)
     L = cfg.text_len
     im = cfg.vit.image_size
 
@@ -303,7 +409,8 @@ def bench_stage1_train(rtt, iters=2):
     mask_np = (np.arange(L)[None, :] < lens[:, None]).astype(np.int32)
     ids_np, mask_np = text_bucket_slice(ids_np * mask_np, mask_np,
                                         parse_text_buckets("auto", L))
-    L = ids_np.shape[1]
+    l_ours = ids_np.shape[1]
+    l_ref = float(lens.max())
     batch = {
         "ref_images": jnp.asarray(rng.normal(size=(b, im, im, 3)) * 0.3,
                                   jnp.float32),
@@ -320,6 +427,16 @@ def bench_stage1_train(rtt, iters=2):
     state = TrainState.create(params, tx)
     step = make_stage1_train_step(model, finetune_vit=False, donate=True)
 
+    # A100 baseline (stage1_train.py:145-190): per pair the reference runs
+    # TWO frozen ViT forwards every step (reference image full features +
+    # target image re-embedded every epoch, blip-bs=16 eager micro-batches)
+    # + MED fusion fwd+bwd (3x) padded to the batch's longest caption.
+    ref_per_pair = 2 * vit_fwd_flops() + 3.0 * med_fwd_flops(l_ref)
+    baseline = A100_EFF / ref_per_pair
+    # ours: ONE ViT forward (pooled target features are corpus-cached) + MED
+    # fusion fwd+bwd at the bucket width.
+    our_per_pair = vit_fwd_flops() + 3.0 * med_fwd_flops(l_ours)
+
     print("bench: compiling stage-I train step...", file=sys.stderr,
           flush=True)
     state, loss = step(state, batch, jax.random.key(1, impl="rbg"))
@@ -329,17 +446,91 @@ def bench_stage1_train(rtt, iters=2):
         state, loss = step(state, batch, jax.random.key(2, impl="rbg"))
     float(loss)
     dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
-    emit("stage1_train_pairs_per_sec", b / dt, "pairs/s",
-         R1_STAGE1_TRAIN_PAIRS_PER_SEC)
+    emit("stage1_train_pairs_per_sec", b / dt, "pairs/s", baseline,
+         our_per_pair)
+
+
+# ---------------------------------------------------------------------------
+# 4. stage-I evaluation (index build + query fusion + full ranking)
+
+
+def bench_stage1_eval(rtt):
+    from candidate_reranking_cir_tpu.retrieval.validate_engine import (
+        full_ranking,
+        make_stage1_fns,
+        predict_queries,
+    )
+
+    model, cfg = _stage1_models(train=False)
+    L = cfg.text_len
+    im = cfg.vit.image_size
+    n_idx, n_q, embed_bs, q_batch = 2297, 4181, 64, 256  # CIRR-val scale
+
+    ids0 = jnp.ones((2, L), jnp.int32)
+    params = rand_params(
+        jax.eval_shape(lambda: model.init(
+            jax.random.key(0), jnp.zeros((2, im, im, 3)), ids0, ids0)),
+        jax.random.key(1))
+    embed, fuse = make_stage1_fns(model, params)
+
+    # device-resident synthetic corpus: the compute benchmark must not be
+    # throttled by the relay's ~35 MB/s H2D (the reference baseline models
+    # compute only, so H2D is excluded on both sides)
+    n_batches = -(-n_idx // embed_bs)
+    imgs = jax.random.normal(jax.random.key(2),
+                             (n_batches, embed_bs, im, im, 3),
+                             jnp.float32) * 0.3
+
+    lengths = caption_lengths(n_q, L)
+    index_names = [f"im{i}" for i in range(n_idx)]
+    rng = np.random.default_rng(3)
+    ref_names = [index_names[i] for i in rng.integers(0, n_idx, size=n_q)]
+    tok = _BenchTokenizer(lengths)
+    captions = [f"caption {q}" for q in range(n_q)]
+
+    def run():
+        feats, pooled = [], []
+        for i in range(n_batches):
+            f, p = embed(imgs[i])
+            feats.append(f)
+            pooled.append(p)
+        index_feats = jnp.concatenate(feats)[:n_idx]
+        pooled_index = jnp.concatenate(pooled)[:n_idx]
+        pred = predict_queries(fuse, tok, captions, ref_names, index_feats,
+                               index_names, L, q_batch=q_batch)
+        order = full_ranking(pred, pooled_index)
+        return order
+
+    # A100 baseline (validate.py:161-234 + utils.py:25-72): per query, one
+    # fusion forward at the query's own caption length + the full-corpus ViT
+    # index build amortized over the queries (the ranking matmul, ~1.2
+    # MFLOP/query, is negligible on both sides).
+    ref_per_query = (med_fwd_flops(lengths.astype(np.float64)).mean()
+                     + n_idx * vit_fwd_flops() / n_q)
+    baseline = A100_EFF / ref_per_query
+    # ours: same algorithm; fusion runs at the static text_len bucket
+    # (pad-to-40), embed batches padded to embed_bs.
+    our_per_query = (med_fwd_flops(float(L))
+                     + n_batches * embed_bs * vit_fwd_flops() / n_q)
+
+    print("bench: compiling stage-I eval programs...", file=sys.stderr,
+          flush=True)
+    run()
+    t0 = time.perf_counter()
+    order = run()
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+    assert order.shape == (n_q, n_idx)
+    emit("stage1_eval_queries_per_sec", n_q / dt, "queries/s", baseline,
+         our_per_query)
 
 
 def main():
     rtt = measure_rtt()
     bench_stage2_eval(rtt)
-    for fn in (bench_stage2_train, bench_stage1_train):
+    for fn in (bench_stage2_train, bench_stage1_train, bench_stage1_eval):
         try:
             fn(rtt)
-        except Exception as e:  # keep the headline line even if a train
+        except Exception as e:  # keep the headline line even if another
             print(f"# {fn.__name__} failed: {e}", flush=True)  # bench dies
 
 
