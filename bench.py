@@ -456,9 +456,9 @@ def bench_stage1_train(rtt, iters=2):
 
 def bench_stage1_eval(rtt):
     from candidate_reranking_cir_tpu.retrieval.validate_engine import (
-        full_ranking,
         make_stage1_fns,
         predict_queries,
+        ranked_slices,
     )
 
     model, cfg = _stage1_models(train=False)
@@ -484,9 +484,15 @@ def bench_stage1_eval(rtt):
     lengths = caption_lengths(n_q, L)
     index_names = [f"im{i}" for i in range(n_idx)]
     rng = np.random.default_rng(3)
-    ref_names = [index_names[i] for i in rng.integers(0, n_idx, size=n_q)]
+    ref_idx = rng.integers(0, n_idx, size=n_q)
+    ref_names = [index_names[i] for i in ref_idx]
     tok = _BenchTokenizer(lengths)
     captions = [f"caption {q}" for q in range(n_q)]
+    # target + reference + 5 group members per query, as the engine requests
+    ent = np.concatenate([rng.integers(0, n_idx, size=(n_q, 1)),
+                          ref_idx[:, None],
+                          rng.integers(0, n_idx, size=(n_q, 5))],
+                         axis=1).astype(np.int32)
 
     def run():
         feats, pooled = [], []
@@ -498,8 +504,7 @@ def bench_stage1_eval(rtt):
         pooled_index = jnp.concatenate(pooled)[:n_idx]
         pred = predict_queries(fuse, tok, captions, ref_names, index_feats,
                                index_names, L, q_batch=q_batch)
-        order = full_ranking(pred, pooled_index)
-        return order
+        return ranked_slices(pred, pooled_index, 501, ent)
 
     # A100 baseline (validate.py:161-234 + utils.py:25-72): per query, one
     # fusion forward at the query's own caption length + the full-corpus ViT
@@ -508,18 +513,23 @@ def bench_stage1_eval(rtt):
     ref_per_query = (med_fwd_flops(lengths.astype(np.float64)).mean()
                      + n_idx * vit_fwd_flops() / n_q)
     baseline = A100_EFF / ref_per_query
-    # ours: same algorithm; fusion runs at the static text_len bucket
-    # (pad-to-40), embed batches padded to embed_bs.
-    our_per_query = (med_fwd_flops(float(L))
+    # ours: same algorithm; fusion runs at L-bucketed widths (the engine's
+    # l_buckets='auto'), embed batches padded to embed_bs.
+    p50, p90 = np.percentile(lengths, [50, 90])
+    bucket = lambda x: min(int(-(-x // 8) * 8), L)
+    edges = sorted({bucket(p50), bucket(p90), L})
+    widths = np.asarray([next(e for e in edges if e >= ln)
+                         for ln in lengths], np.float64)
+    our_per_query = (med_fwd_flops(widths).mean()
                      + n_batches * embed_bs * vit_fwd_flops() / n_q)
 
     print("bench: compiling stage-I eval programs...", file=sys.stderr,
           flush=True)
     run()
     t0 = time.perf_counter()
-    order = run()
+    topk, ranks = run()
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-    assert order.shape == (n_q, n_idx)
+    assert topk.shape == (n_q, 501) and ranks.shape == (n_q, 7)
     emit("stage1_eval_queries_per_sec", n_q / dt, "queries/s", baseline,
          our_per_query)
 

@@ -28,7 +28,7 @@ from candidate_reranking_cir_tpu.retrieval.topk_writer import (
     test1_topk_payload,
 )
 from candidate_reranking_cir_tpu.retrieval.validate_engine import (
-    full_ranking,
+    ranked_slices,
     make_stage1_fns,
     predict_queries,
 )
@@ -75,20 +75,24 @@ def main(argv=None):
 
     pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
                            args.text_len, args.batch_size, mesh=mesh)
-    sorted_idx = full_ranking(pred, pooled, mesh=mesh)
-    names_sorted = M.rank_names(sorted_idx, index_names)
+    # device-side truncated ranking (see validate_engine.ranked_slices): the
+    # submission consumes top-50 + the top-k artifact, never the full order
+    pos = {name: i for i, name in enumerate(index_names)}
+    members = [[m for m in g if m != r][:5] for g, r in zip(groups, refs)]
+    ent = np.asarray([[pos[r], *[pos[m] for m in row]]
+                      for r, row in zip(refs, members)], np.int32)
+    width = max(51, args.k + 1)
+    topk_idx, ranks = ranked_slices(pred, pooled, width, ent, mesh=mesh)
 
     # remove the reference image from each row (cirr_test_submission.py:55-58)
-    refs_col = np.asarray(refs, dtype=object)[:, None]
-    keep = names_sorted != refs_col
-    n_q, n_idx = names_sorted.shape
-    names_wo_ref = names_sorted[keep].reshape(n_q, n_idx - 1)
+    names_sliced = np.asarray(index_names, dtype=object)[topk_idx]
+    names_wo_ref = M.remove_reference_column(names_sliced, ranks[:, 0])
 
     # subset ranking: order of each query's group members within the global
     # ranking (cirr_test_submission.py:60-66)
-    members = np.asarray(groups, dtype=object)
-    group_mask = (names_wo_ref[..., None] == members[:, None, :]).sum(-1) > 0
-    group_sorted = names_wo_ref[group_mask].reshape(n_q, -1)
+    order = np.argsort(ranks[:, 1:], axis=1, kind="stable")
+    group_sorted = np.take_along_axis(
+        np.asarray(members, dtype=object), order, axis=1)
 
     submission, group_submission = build_submissions(pair_ids, names_wo_ref,
                                                      group_sorted)

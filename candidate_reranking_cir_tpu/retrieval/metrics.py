@@ -79,6 +79,85 @@ def cirr_ranking(sorted_index_names: np.ndarray, reference_names: list[str],
     return RankingResult(sorted_wo_ref, labels, group_labels)
 
 
+def _check_unique_index(index_names) -> None:
+    if len(set(index_names)) != len(index_names):
+        raise AssertionError("duplicate image names in the index — rankings "
+                             "and labels would be ambiguous")
+
+
+def remove_reference_column(names: np.ndarray,
+                            ref_ranks: np.ndarray) -> np.ndarray:
+    """Drop the reference from each row's [width] slice (or the last column
+    when the reference ranks beyond the slice) — either way width-1
+    survivors, equal to the full order-without-reference truncated at
+    width-1 (validate.py:207-210 applied to a truncated ranking)."""
+    n_q, width = names.shape
+    drop = np.minimum(ref_ranks, width - 1)
+    keep = np.arange(width)[None, :] != drop[:, None]
+    return names[keep].reshape(n_q, width - 1)
+
+
+def fiq_ranking_from_ranks(topk_idx: np.ndarray, index_names: list[str],
+                           target_names: list[str],
+                           target_ranks: np.ndarray) -> RankingResult:
+    """Fashion-IQ RankingResult from the device-side truncated ranking
+    (validate_engine.ranked_slices): topk_idx [N_q, width] is the stable
+    argsort's first width columns; target_ranks the exact global ranks.
+    Identical semantics to fiq_ranking at every consumed depth
+    (width must exceed the deepest recall K unless the corpus is smaller)."""
+    _check_unique_index(index_names)
+    n_q, width = topk_idx.shape
+    names = np.asarray(index_names, dtype=object)[topk_idx]
+    labels = np.zeros((n_q, width), bool)
+    rows = target_ranks < width
+    labels[np.nonzero(rows)[0], target_ranks[rows]] = True
+    # cross-check the rank computation against the top-k contents; also
+    # catches a target name absent from the slice it should be in
+    tgt = np.asarray(target_names, dtype=object)
+    if not (names[rows, target_ranks[rows]] == tgt[rows]).all():
+        raise AssertionError("device rank disagrees with top-k contents")
+    if width >= len(index_names) and not rows.all():
+        raise AssertionError("target missing from a full-width ranking")
+    return RankingResult(names, labels)
+
+
+def cirr_ranking_from_ranks(topk_idx: np.ndarray, index_names: list[str],
+                            target_names: list[str],
+                            group_members: list[list[str]],
+                            target_ranks: np.ndarray, ref_ranks: np.ndarray,
+                            member_ranks: np.ndarray) -> RankingResult:
+    """CIRR RankingResult from the device-side truncated ranking — the
+    reference-image removal (validate.py:207-210) applied arithmetically:
+    post-removal rank r' = r - (rank(ref) < r). member_ranks: [N_q, 5]
+    global ranks of the non-reference group members."""
+    _check_unique_index(index_names)
+    n_q, width = topk_idx.shape
+    names = np.asarray(index_names, dtype=object)[topk_idx]
+
+    names_wo_ref = remove_reference_column(names, ref_ranks)
+
+    t_adj = target_ranks - (ref_ranks < target_ranks)
+    labels = np.zeros((n_q, width - 1), bool)
+    rows = t_adj < width - 1
+    labels[np.nonzero(rows)[0], t_adj[rows]] = True
+    tgt = np.asarray(target_names, dtype=object)
+    if not (names_wo_ref[rows, t_adj[rows]] == tgt[rows]).all():
+        raise AssertionError("device rank disagrees with top-k contents")
+    if width >= len(index_names) and not rows.all():
+        raise AssertionError("target missing from a full-width ranking")
+
+    # subset: the 5 members ordered by global rank (ref removal preserves
+    # relative order); one-hot of the target among them
+    order = np.argsort(member_ranks, axis=1, kind="stable")
+    members = np.asarray(group_members, dtype=object)
+    if members.shape[1] != member_ranks.shape[1]:
+        raise AssertionError("member_ranks must cover the non-ref members")
+    group_sorted = np.take_along_axis(members, order, axis=1)
+    group_labels = group_sorted == tgt[:, None]
+    _assert_one_hot(group_labels, "cirr-subset")
+    return RankingResult(names_wo_ref, labels, group_labels)
+
+
 def reranked_labels(base_labels: np.ndarray, order: np.ndarray) -> np.ndarray:
     """Stage-II: re-index stored top-K labels by the re-ranker's descending-score
     order (validate_stage2.py:174-179 np.take_along_axis semantics)."""
