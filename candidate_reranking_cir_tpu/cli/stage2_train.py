@@ -136,7 +136,13 @@ def main(argv=None):
     steps_per_epoch = max(len(loader), 1)
     prescan_captions(tokenizer, train_ds, args.text_len, dataset_name)
 
-    tx, schedule = make_optimizer(train_cfg, s2_params, steps_per_epoch)
+    # like the reference (stage2_train.py:96-99,138), a frozen ViT must be
+    # invisible to AdamW: optax.adamw applies weight decay even to
+    # zero-gradient params, which would otherwise slowly shrink the frozen
+    # visual encoder over a long run
+    freeze = () if args.blip_img_tune else ("params/visual_encoder",)
+    tx, schedule = make_optimizer(train_cfg, s2_params, steps_per_epoch,
+                                  freeze_prefixes=freeze)
     state = TrainState.create(s2_params, tx)
 
     mesh = make_mesh_for_batch(args.batch_size)
