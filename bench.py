@@ -178,7 +178,7 @@ def _stage1_models(train: bool):
         # projections (~11 GB) blow HBM — stage I stays full-recompute remat
         cfg = RetrievalModelConfig(
             vit=vit_config("base", 384, remat=True, fused_attention=True),
-            text=TextEncoderConfig(remat=True))
+            text=TextEncoderConfig(remat=True, fused_attention=True))
     else:
         cfg = RetrievalModelConfig(
             vit=vit_config("base", 384, fused_attention=True))
@@ -307,7 +307,8 @@ def bench_stage2_train(rtt, iters=4):
     s2_cfg = RerankerModelConfig(
         vit=vit_config("base", 384, drop_path_rate=0.1, remat=True,
                        remat_policy="dots", fused_attention=True),
-        text=TextEncoderConfig(remat=True, remat_policy="dots"))
+        text=TextEncoderConfig(remat=True, remat_policy="dots",
+                               fused_attention=True))
     s1 = RetrievalModel(s1_cfg, dtype=jnp.bfloat16)
     s2 = RerankerModel(s2_cfg, dtype=jnp.bfloat16)
     L = s2_cfg.text_len
@@ -343,7 +344,8 @@ def bench_stage2_train(rtt, iters=4):
     s2_params = s2.init(jax.random.key(2), batch["target_images"][:2],
                         batch["input_ids"][:2], batch["attention_mask"][:2],
                         z_dummy)
-    tx, _ = make_optimizer(TrainConfig(batch_size=b), s2_params, 100)
+    tx, _ = make_optimizer(TrainConfig(batch_size=b), s2_params, 100,
+                           freeze_prefixes=("params/visual_encoder",))
     state = TrainState.create(s2_params, tx)
     step = make_stage2_train_step(s1, s2, donate=True)
 

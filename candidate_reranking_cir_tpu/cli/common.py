@@ -63,10 +63,13 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="Fashion-IQ categories")
     parser.add_argument("--fused-attention", type=str, default="auto",
                         choices=["auto", "on", "off"],
-                        help="route ViT attention through the Pallas "
-                             "VMEM-resident kernel (measured ~10%% faster "
-                             "ViT forward at 577 tokens); 'auto' enables it "
-                             "on TPU backends only")
+                        help="route attention through the Pallas "
+                             "VMEM-resident kernels: the eval kernel for "
+                             "deterministic calls (~10%% faster ViT forward "
+                             "at 577 tokens) and the in-kernel-dropout "
+                             "train kernel for large-KV training attention "
+                             "(ops/pallas_attention_train.py); 'auto' "
+                             "enables both on TPU backends only")
     parser.add_argument("--dropout-rng", type=str, default="rbg",
                         choices=["rbg", "threefry2x32"],
                         help="PRNG for dropout masks: the hardware "
@@ -111,7 +114,11 @@ def build_stage1(args, *, remat: bool = False):
                         **ov["vit"]}) if "vit" in ov
            else vit_config(args.vit, args.image_size, remat=remat,
                            fused_attention=fused))
-    text = TextEncoderConfig(**{"remat": remat, **ov.get("text", {})})
+    # text fused attention: eval ties XLA at these shapes (BASELINE.md), but
+    # training routes through the in-kernel-dropout Pallas kernel
+    # (ops/pallas_attention_train.py) — measured faster on both train steps
+    text = TextEncoderConfig(**{"remat": remat, "fused_attention": fused,
+                                **ov.get("text", {})})
     cfg = RetrievalModelConfig(vit=vit, text=text,
                                embed_dim=ov.get("embed_dim", 256),
                                text_len=args.text_len)
@@ -134,6 +141,7 @@ def build_stage2(args, *, remat: bool = False):
                            remat=remat, remat_policy=policy,
                            fused_attention=fused))
     text = TextEncoderConfig(**{"remat": remat, "remat_policy": policy,
+                                "fused_attention": fused,
                                 **ov.get("text", {})})
     cfg = RerankerModelConfig(vit=vit, text=text, text_len=args.text_len)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32

@@ -62,6 +62,10 @@ def dot_product_attention(
         out = _try_fused(q, k, v, bias)
         if out is not None:
             return out
+    elif fused and dropout_rng is not None:
+        out = _try_fused_train(q, k, v, bias, dropout_rng, dropout_rate)
+        if out is not None:
+            return out
     dtype = q.dtype
     depth = q.shape[-1]
     scale = depth ** -0.5
@@ -108,6 +112,37 @@ def _try_fused(q, k, v, bias):
     return out.reshape(*batch_shape, lq, h, d)
 
 
+def _try_fused_train(q, k, v, bias, dropout_rng, dropout_rate):
+    """Training twin of ``_try_fused``: routes to the in-kernel-dropout
+    Pallas kernel (ops/pallas_attention_train.py) when the call qualifies
+    (head-independent bias, single-query-block length). The dropout mask is
+    derived in-kernel from a seed drawn off ``dropout_rng`` — it never
+    materializes in HBM, and the fused backward regenerates it exactly."""
+    if q.ndim < 4 or k.ndim != q.ndim:
+        return None
+    batch_shape = q.shape[:-3]
+    lq, h, d = q.shape[-3:]
+    m = k.shape[-3]
+    if k.shape[:-3] != batch_shape:
+        return None
+    from candidate_reranking_cir_tpu.ops.pallas_attention_train import (
+        eligible,
+        fused_attention_train,
+        seed_from_rng,
+    )
+
+    if not eligible(lq, bias, m):
+        return None
+    if bias is not None:
+        bias = jnp.broadcast_to(
+            bias, (*batch_shape, 1, lq, m)).reshape(-1, 1, lq, m)
+    out = fused_attention_train(
+        q.reshape(-1, lq, h, d), k.reshape(-1, m, h, d),
+        v.reshape(-1, m, h, d), bias, seed_from_rng(dropout_rng),
+        dropout_rate)
+    return out.reshape(*batch_shape, lq, h, d)
+
+
 def grid_cross_attention(
     q: jax.Array,
     k: jax.Array,
@@ -148,6 +183,19 @@ def grid_cross_attention(
         a, b, lq, h, d = q.shape
         out = fused_attention(q.reshape(a, b * lq, h, d), k, v, None)
         return out.reshape(a, b, lq, h, d)
+    if (fused and dropout_rng is not None and bias is None and k.ndim == 4):
+        from candidate_reranking_cir_tpu.ops.pallas_attention_train import (
+            eligible,
+            fused_attention_train,
+            seed_from_rng,
+        )
+
+        a, b, lq, h, d = q.shape
+        if eligible(b * lq, None, k.shape[-3]):
+            out = fused_attention_train(q.reshape(a, b * lq, h, d), k, v,
+                                        None, seed_from_rng(dropout_rng),
+                                        dropout_rate)
+            return out.reshape(a, b, lq, h, d)
     dtype = q.dtype
     scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("ablhd,akhd->abhlk", q, k,
@@ -200,6 +248,22 @@ def pair_cross_attention(
         qt = q.transpose(1, 0, 2, 3, 4).reshape(n_c, n_q * lq, h, d)
         out = fused_attention(qt, k, v, None)
         return out.reshape(n_c, n_q, lq, h, d).transpose(1, 0, 2, 3, 4)
+    if (fused and dropout_rng is not None and bias is None and k.ndim == 4):
+        from candidate_reranking_cir_tpu.ops.pallas_attention_train import (
+            eligible,
+            fused_attention_train,
+            seed_from_rng,
+        )
+
+        n_q, n_c, lq, h, d = q.shape
+        if eligible(n_q * lq, None, k.shape[-3]):
+            # fold queries into the row axis per candidate: the dropout mask
+            # is iid per (pair, head, row, key) either way
+            qt = q.transpose(1, 0, 2, 3, 4).reshape(n_c, n_q * lq, h, d)
+            out = fused_attention_train(qt, k, v, None,
+                                        seed_from_rng(dropout_rng),
+                                        dropout_rate)
+            return out.reshape(n_c, n_q, lq, h, d).transpose(1, 0, 2, 3, 4)
     dtype = q.dtype
     scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("qclhd,ckhd->qchlk", q, k,

@@ -92,9 +92,16 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
 
     # block long query sequences (e.g. the candidate-major fold of B*Lq rows)
     # so one program's q block + per-head fp32 scores stay inside the scoped
-    # VMEM budget; softmax is exact per row regardless (full M in VMEM)
-    lq_block = min(lq_pad, 512)
-    lq_pad = _round_up(lq_pad, lq_block)
+    # VMEM budget; softmax is exact per row regardless (full M in VMEM).
+    # Block size balances the blocks instead of forcing 512: a ViT-length
+    # query (lq_pad 592) runs as ONE 592-row block, not 2x512 with 43% of
+    # rows padding (which cost ~8% of the whole ViT forward).
+    if lq_pad <= 768:
+        lq_block = lq_pad
+    else:
+        n_blocks = -(-lq_pad // 512)
+        lq_block = _round_up(-(-lq_pad // n_blocks), sublane)
+        lq_pad = lq_block * n_blocks
     n_lq_blocks = lq_pad // lq_block
 
     # Mosaic wants the last two block dims tile-aligned: run in [B, H, L, D]

@@ -1,0 +1,332 @@
+"""Pallas fused attention for TRAINING: in-kernel dropout, fused backward.
+
+The eval kernel (ops/pallas_attention.py) is deterministic-only; the training
+hot paths (stage-I MED fusion fwd+bwd at B=512, the stage-II dual-encoder
+pair grid at B=16 => 256 pairs) additionally apply attention-probs dropout
+(reference med_config.json attention_probs_dropout_prob=0.1, consumed at
+med.py:158-240 / nlvr_encoder.py:140-222). Under XLA that costs three HBM
+round-trips of the fp32 score tensor per attention site (scores, probs,
+dropout mask — ~0.5 GB/layer-stream for the stage-I cross-attention) plus a
+full recompute in the rematerialized backward.
+
+This kernel keeps everything in VMEM:
+
+- forward: QK^T, exact fp32 softmax, dropout, PV in one program per batch
+  entry (heads looped inside, like the eval kernel);
+- dropout mask: derived IN-KERNEL from a counter-based integer hash
+  (lowbias32, fixed-shift xorshift-multiply) of (seed, batch, head, row,
+  col) — no mask tensor ever exists in HBM, and the backward reproduces the
+  identical mask from the same seed;
+- backward: one program per batch entry recomputes probs + mask in VMEM and
+  emits dq, dk, dv directly (flash-attention-style, but with the full key
+  length resident — text/image sequences here are <= ~1k tokens).
+
+Numerics: softmax is exact fp32 (max-subtracted), matching the XLA path
+bit-for-bit up to reduction order. The keep decision is
+``uniform24(hash) >= rate`` where uniform24 has 2^-24 resolution — the keep
+probability differs from exactly (1-rate) by < 6e-8, statistically
+indistinguishable from ``jax.random.bernoulli``.
+
+The hash is NOT a cryptographic PRNG, but per-element counters are unique
+per (batch, head, row, col) and lowbias32's avalanche behavior is well
+studied (bias ~0.17%); for dropout masks this is far beyond sufficient.
+
+Interpret mode (CPU tests, the virtual mesh) runs the same kernel body —
+the hash is plain int32 arithmetic, so CPU and TPU produce IDENTICAL masks.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+_M1 = 0x7FEB352D - (1 << 32) * 0  # 2135587861, fits int32
+_M2 = -2073376117  # int32 view of 0x846CA68B
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _lowbias32(x):
+    """lowbias32 integer hash (fixed shifts only — Mosaic-friendly).
+    Operates on int32 with two's-complement wraparound multiplies."""
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * jnp.int32(_M1)
+    x = x ^ jax.lax.shift_right_logical(x, 15)
+    x = x * jnp.int32(_M2)
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    return x
+
+
+def _keep_mask(seed, b, h, shape, rate: float):
+    """[rows, cols] bool keep-mask, deterministic in (seed, b, h, i, j).
+
+    seed: int32 scalar (traced); b, h: int32 scalars. Reproduced exactly by
+    ``reference_keep_mask`` below (used by tests and any XLA fallback).
+    """
+    rows, cols = shape
+    salt = _lowbias32(seed + jnp.int32(b) * jnp.int32(0x101) + jnp.int32(h))
+    idx = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * jnp.int32(cols)
+           + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    bits = _lowbias32(salt + idx)
+    # top 24 bits -> uniform [0, 1) at 2^-24 resolution (jax.random.uniform's
+    # construction); keep iff u >= rate
+    u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (2.0 ** -24)
+    return u >= jnp.float32(rate)
+
+
+def reference_keep_mask(seed, b: int, h: int, shape, rate: float):
+    """Host/XLA replica of the in-kernel mask (for tests)."""
+    return _keep_mask(jnp.int32(seed), jnp.int32(b), jnp.int32(h), shape, rate)
+
+
+def _softmax_fp32(scores):
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    return probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+
+def _head_scores(q, k, bias, kv_len: int, scale: float):
+    """[L, D] x [M_pad, D] -> fp32 [L, M_pad] masked scores."""
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias
+    if k.shape[0] != kv_len:
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(key_idx < kv_len, scores, NEG_INF)
+    return scores
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, b_ref, o_ref, *, kv_len: int,
+                scale: float, num_heads: int, rate: float, has_bias: bool):
+    b = pl.program_id(0)
+    seed = seed_ref[0]
+    bias = b_ref[0].astype(jnp.float32) if has_bias else None
+    for h in range(num_heads):
+        probs = _softmax_fp32(
+            _head_scores(q_ref[0, h], k_ref[0, h], bias, kv_len, scale))
+        if rate > 0.0:
+            keep = _keep_mask(seed, b, h, probs.shape, rate)
+            probs = jnp.where(keep, probs * (1.0 / (1.0 - rate)), 0.0)
+        out = jax.lax.dot_general(
+            probs.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, h] = out.astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, b_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *, kv_len: int, scale: float,
+                num_heads: int, rate: float, has_bias: bool):
+    b = pl.program_id(0)
+    seed = seed_ref[0]
+    bias = b_ref[0].astype(jnp.float32) if has_bias else None
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    for h in range(num_heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        g = g_ref[0, h].astype(jnp.float32)
+        probs = _softmax_fp32(_head_scores(q, k, bias, kv_len, scale))
+        if rate > 0.0:
+            keep = _keep_mask(seed, b, h, probs.shape, rate)
+            dropped = jnp.where(keep, probs * inv, 0.0)
+        else:
+            keep = None
+            dropped = probs
+        # dV = dropped^T g   [M, D]
+        dv_ref[0, h] = jax.lax.dot_general(
+            dropped, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        # d(dropped) = g V^T  [L, M]
+        d_dropped = jax.lax.dot_general(
+            g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if keep is not None:
+            d_probs = jnp.where(keep, d_dropped * inv, 0.0)
+        else:
+            d_probs = d_dropped
+        # softmax backward (fp32, exact)
+        d_scores = probs * (
+            d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True))
+        if k.shape[0] != kv_len:
+            key_idx = jax.lax.broadcasted_iota(jnp.int32, d_scores.shape, 1)
+            d_scores = jnp.where(key_idx < kv_len, d_scores, 0.0)
+        d_scores = d_scores * scale
+        dq_ref[0, h] = jax.lax.dot_general(
+            d_scores.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, h] = jax.lax.dot_general(
+            d_scores.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+MAX_LQ = 1024  # single-query-block kernel: larger folds fall back to XLA
+MIN_KV = 256   # below this key length XLA wins: the fp32 score tensor is
+               # small enough that HBM traffic is negligible, while the
+               # kernel's one-program-per-batch-entry layout degenerates to
+               # tiny [L, 128] matmuls dominated by per-program overhead
+               # (measured: routing the L<=48 pair-grid SELF-attention here
+               # cost ~30 ms/step at B=16; cross-attention at M=577 wins)
+MIN_ROWS = 128  # minimum query rows per program: at stage-I MED shapes
+                # (B=512 programs x ~32 rows x M=577) the kernel lost 8.6%
+                # vs XLA — per-program work too small; the stage-II pair
+                # fold (B=16 programs x 384 rows x 577) wins 16%
+
+
+def _prep(q, k, v, bias):
+    """Common padding/layout: [B, L, H, D] -> [B, H, L_pad, D] (+ bias3)."""
+    b, lq, h, d = q.shape
+    m = k.shape[1]
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    lq_pad = _round_up(lq, max(sublane, 8))
+    m_pad = _round_up(m, 128)
+    qt = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
+    kt = jnp.pad(k.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+    vt = jnp.pad(v.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+    if bias is not None:
+        bias3 = jnp.broadcast_to(bias[:, 0] if bias.ndim == 4 else bias,
+                                 (b, lq, m)).astype(jnp.float32)
+        bias3 = jnp.pad(bias3, ((0, 0), (0, lq_pad - lq), (0, m_pad - m)))
+    else:
+        bias3 = jnp.zeros((b, 8, 128), jnp.float32)  # placeholder operand
+    return qt, kt, vt, bias3, lq_pad, m_pad
+
+
+def _specs(b, h, lq_pad, m_pad, d, has_bias):
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    q_spec = pl.BlockSpec((1, h, lq_pad, d), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, h, m_pad, d), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    if has_bias:
+        b_spec = pl.BlockSpec((1, lq_pad, m_pad), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        b_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return seed_spec, q_spec, kv_spec, b_spec
+
+
+# the backward program's double-buffered blocks (q/k/v/g in, dq/dk/dv out)
+# plus per-head fp32 scratch exceed the default 16 MB scoped-vmem budget at
+# the pair-grid fold shapes ([16, 12, 384+, 64] blocks); v5e has 128 MB VMEM
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _interpret_default():
+    # Mosaic compiles only for TPU; CPU (tests, virtual mesh) interprets
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_impl(q, k, v, bias, seed, rate: float, interpret: bool | None):
+    if interpret is None:
+        interpret = _interpret_default()
+    b, lq, h, d = q.shape
+    m = k.shape[1]
+    scale = d ** -0.5
+    has_bias = bias is not None
+    qt, kt, vt, bias3, lq_pad, m_pad = _prep(q, k, v, bias)
+    seed_spec, q_spec, kv_spec, b_spec = _specs(b, h, lq_pad, m_pad, d,
+                                                has_bias)
+    cost = pl.CostEstimate(
+        flops=2 * b * h * lq * m * d * 2,
+        bytes_accessed=(qt.size + kt.size + vt.size) * q.dtype.itemsize,
+        transcendentals=b * h * lq * m)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, kv_len=m, scale=scale, num_heads=h,
+                          rate=rate, has_bias=has_bias),
+        grid=(b,),
+        in_specs=[seed_spec, q_spec, kv_spec, kv_spec, b_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, lq_pad, d), q.dtype),
+        cost_estimate=cost,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(seed, qt, kt, vt, bias3)
+    return out.transpose(0, 2, 1, 3)[:, :lq]
+
+
+def _bwd_impl(q, k, v, bias, seed, g, rate: float, interpret: bool | None):
+    if interpret is None:
+        interpret = _interpret_default()
+    b, lq, h, d = q.shape
+    m = k.shape[1]
+    scale = d ** -0.5
+    has_bias = bias is not None
+    qt, kt, vt, bias3, lq_pad, m_pad = _prep(q, k, v, bias)
+    gt = jnp.pad(g.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
+    seed_spec, q_spec, kv_spec, b_spec = _specs(b, h, lq_pad, m_pad, d,
+                                                has_bias)
+    cost = pl.CostEstimate(
+        flops=5 * 2 * b * h * lq * m * d,
+        bytes_accessed=2 * (qt.size + kt.size + vt.size) * q.dtype.itemsize,
+        transcendentals=b * h * lq * m)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, kv_len=m, scale=scale, num_heads=h,
+                          rate=rate, has_bias=has_bias),
+        grid=(b,),
+        in_specs=[seed_spec, q_spec, kv_spec, kv_spec, b_spec, q_spec],
+        out_specs=(q_spec, kv_spec, kv_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, h, lq_pad, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, m_pad, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, m_pad, d), v.dtype)),
+        cost_estimate=cost,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(seed, qt, kt, vt, bias3, gt)
+    dq = dq.transpose(0, 2, 1, 3)[:, :lq]
+    dk = dk.transpose(0, 2, 1, 3)[:, :m]
+    dv = dv.transpose(0, 2, 1, 3)[:, :m]
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_attention_train(q, k, v, bias, seed, rate: float):
+    """Fused attention with in-kernel dropout. Differentiable in q, k, v.
+
+    q [B, Lq, H, D]; k, v [B, M, H, D]; bias None or head-independent
+    additive [B, 1, Lq, M] / [B, Lq, M]; seed int32 [1] array; rate static.
+    The dropout mask is a pure function of (seed, batch, head, row, col) —
+    forward and backward regenerate it identically, nothing hits HBM.
+    """
+    return _fwd_impl(q, k, v, bias, seed, rate, None)
+
+
+def _vjp_fwd(q, k, v, bias, seed, rate):
+    return _fwd_impl(q, k, v, bias, seed, rate, None), (q, k, v, bias, seed)
+
+
+def _vjp_bwd(rate, res, g):
+    q, k, v, bias, seed = res
+    dq, dk, dv = _bwd_impl(q, k, v, bias, seed, g, rate, None)
+    return dq, dk, dv, None, None
+
+
+fused_attention_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def eligible(lq: int, bias, kv_len: int = MIN_KV) -> bool:
+    """Single-block kernel constraint, head-independent bias, large-M and
+    enough per-program rows only (see MIN_KV / MIN_ROWS rationale)."""
+    if lq > MAX_LQ or lq < MIN_ROWS or kv_len < MIN_KV:
+        return False
+    if bias is not None and bias.ndim >= 3 and bias.shape[-3] not in (1,):
+        return False
+    return True
+
+
+def seed_from_rng(rng) -> jax.Array:
+    """Derive the kernel's int32 seed from a JAX PRNG key (one tiny draw)."""
+    return jax.random.randint(rng, (1,), jnp.iinfo(jnp.int32).min,
+                              jnp.iinfo(jnp.int32).max, jnp.int32)
