@@ -458,6 +458,7 @@ def bench_stage1_train(rtt, iters=2):
 
 def bench_stage1_eval(rtt):
     from candidate_reranking_cir_tpu.retrieval.validate_engine import (
+        make_embed_scan,
         make_stage1_fns,
         predict_queries,
         ranked_slices,
@@ -466,14 +467,17 @@ def bench_stage1_eval(rtt):
     model, cfg = _stage1_models(train=False)
     L = cfg.text_len
     im = cfg.vit.image_size
-    n_idx, n_q, embed_bs, q_batch = 2297, 4181, 64, 256  # CIRR-val scale
+    # embed_bs=32: the ViT throughput peak (768 img/s vs 640 at 64 — see
+    # tools/t_vit_sweep.py; throughput falls with batch on v5e)
+    n_idx, n_q, embed_bs, q_batch = 2297, 4181, 32, 256  # CIRR-val scale
 
     ids0 = jnp.ones((2, L), jnp.int32)
     params = rand_params(
         jax.eval_shape(lambda: model.init(
             jax.random.key(0), jnp.zeros((2, im, im, 3)), ids0, ids0)),
         jax.random.key(1))
-    embed, fuse = make_stage1_fns(model, params)
+    _, fuse = make_stage1_fns(model, params)
+    embed_scan = make_embed_scan(model, params)
 
     # device-resident synthetic corpus: the compute benchmark must not be
     # throttled by the relay's ~35 MB/s H2D (the reference baseline models
@@ -497,13 +501,9 @@ def bench_stage1_eval(rtt):
                          axis=1).astype(np.int32)
 
     def run():
-        feats, pooled = [], []
-        for i in range(n_batches):
-            f, p = embed(imgs[i])
-            feats.append(f)
-            pooled.append(p)
-        index_feats = jnp.concatenate(feats)[:n_idx]
-        pooled_index = jnp.concatenate(pooled)[:n_idx]
+        feats, pooled = embed_scan(imgs)  # one dispatch, scanned chunks
+        index_feats = feats.reshape(-1, *feats.shape[2:])[:n_idx]
+        pooled_index = pooled.reshape(-1, pooled.shape[-1])[:n_idx]
         pred = predict_queries(fuse, tok, captions, ref_names, index_feats,
                                index_names, L, q_batch=q_batch)
         return ranked_slices(pred, pooled_index, 501, ent)

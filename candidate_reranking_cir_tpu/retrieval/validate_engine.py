@@ -58,6 +58,30 @@ def make_stage1_fns(model: RetrievalModel, params):
     return embed, fuse
 
 
+def make_embed_scan(model: RetrievalModel, params):
+    """Device-resident corpus embed: ONE dispatch for the whole index build.
+
+    images [n_chunks, chunk, H, W, 3] (chunk ~32, the v5e ViT throughput
+    peak) -> (raw [n_chunks, chunk, M, D], pooled [n_chunks, chunk, E]).
+    A lax.scan keeps the per-chunk batch at the fast size while avoiding one
+    relay round-trip per chunk (72 dispatches at CIRR-val scale measured
+    ~4% of the eval wall-clock). For host-streamed corpora use the per-batch
+    ``embed`` from make_stage1_fns (H2D overlaps compute there)."""
+    @jax.jit
+    def _embed_scan(p, images):
+        def body(carry, xc):
+            return carry, model.apply(p, xc, pool_and_normalize=True,
+                                      method=RetrievalModel.embed_images)
+
+        _, outs = jax.lax.scan(body, 0.0, images)
+        return outs
+
+    def embed_scan(images):
+        return _embed_scan(params, images)
+
+    return embed_scan
+
+
 def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
                     index_feats, index_names, text_len: int,
                     q_batch: int = 32, mesh=None,
@@ -124,6 +148,33 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
     return jnp.take(grouped, jnp.asarray(inv), axis=0)
 
 
+# module-level jits: defining these inside their callers would create a fresh
+# jit cache per call, recompiling the CIRR-val-scale ranking program on EVERY
+# invocation (~5 s/call through the remote-compile relay vs 65 ms of compute —
+# measured, tools/t_ranked_bd.py vs t_s1eval_phases.py)
+@jax.jit
+def _full_rank(p, idx):
+    return jnp.argsort(1.0 - jnp.einsum("qe,ne->qn", p, idx),
+                       axis=-1, stable=True)
+
+
+@partial(jax.jit, static_argnames="w")
+def _ranked(p, idx, e, w):
+    dist = 1.0 - jnp.einsum("qe,ne->qn", p.astype(jnp.float32), idx)
+    # lax.top_k == stable ascending argsort truncated at w (both break
+    # ties by lowest index); measured equal speed at CIRR-val scale
+    # (308 vs 336 ms fused with the rank pass) — top_k fuses better
+    _, topk = jax.lax.top_k(-dist, w)
+    d_e = jnp.take_along_axis(dist, e, axis=1)          # [Q, E]
+    less = (dist[:, None, :] < d_e[:, :, None]).sum(-1)
+    ties = ((dist[:, None, :] == d_e[:, :, None])
+            & (jnp.arange(dist.shape[1])[None, None, :]
+               < e[:, :, None])).sum(-1)
+    if idx.shape[0] < 2**15:  # indices fit int16: halves the topk D2H
+        topk = topk.astype(jnp.int16)  # (relay ~29 MB/s; 8.4 MB at CIRR-val)
+    return topk, less + ties
+
+
 def full_ranking(pred: np.ndarray, pooled_index, mesh=None) -> np.ndarray:
     """Ascending-distance stable argsort over the whole corpus, on device.
 
@@ -133,9 +184,8 @@ def full_ranking(pred: np.ndarray, pooled_index, mesh=None) -> np.ndarray:
     """
     pred = jnp.asarray(pred)
     if mesh is None:
-        distances = 1.0 - jnp.einsum(
-            "qe,ne->qn", pred, pooled_index.astype(jnp.float32))
-        return np.asarray(jnp.argsort(distances, axis=-1, stable=True))
+        return np.asarray(_full_rank(pred.astype(jnp.float32),
+                                     pooled_index.astype(jnp.float32)))
 
     from candidate_reranking_cir_tpu.parallel.mesh import (
         batch_sharding,
@@ -150,13 +200,7 @@ def full_ranking(pred: np.ndarray, pooled_index, mesh=None) -> np.ndarray:
                                                 pred.dtype)])
     pred = jax.device_put(pred, batch_sharding(mesh, 2))
     index = jax.device_put(pooled_index.astype(jnp.float32), replicated(mesh))
-
-    @jax.jit
-    def rank(p, idx):
-        return jnp.argsort(1.0 - jnp.einsum("qe,ne->qn", p, idx),
-                           axis=-1, stable=True)
-
-    return np.asarray(rank(pred, index))[:n]
+    return np.asarray(_full_rank(pred.astype(jnp.float32), index))[:n]
 
 
 def ranked_slices(pred, pooled_index, width: int,
@@ -206,23 +250,11 @@ def ranked_slices(pred, pooled_index, width: int,
     else:
         index = pooled_index.astype(jnp.float32)
 
-    @partial(jax.jit, static_argnames="w")
-    def _ranked(p, idx, e, w):
-        dist = 1.0 - jnp.einsum("qe,ne->qn", p.astype(jnp.float32), idx)
-        # lax.top_k == stable ascending argsort truncated at w (both break
-        # ties by lowest index); measured equal speed at CIRR-val scale
-        # (308 vs 336 ms fused with the rank pass) — top_k fuses better
-        _, topk = jax.lax.top_k(-dist, w)
-        d_e = jnp.take_along_axis(dist, e, axis=1)          # [Q, E]
-        less = (dist[:, None, :] < d_e[:, :, None]).sum(-1)
-        ties = ((dist[:, None, :] == d_e[:, :, None])
-                & (jnp.arange(dist.shape[1])[None, None, :]
-                   < e[:, :, None])).sum(-1)
-        return topk, less + ties
-
     topk, ranks = _ranked(pred, index, ent, min(width,
                                                 index.shape[0]))
-    topk, ranks = np.asarray(topk)[:n], np.asarray(ranks)[:n]
+    # fetch compact, upcast host-side: consumers always see int32 indices
+    topk = np.asarray(topk)[:n].astype(np.int32, copy=False)
+    ranks = np.asarray(ranks)[:n]
     return topk, (ranks if entity_idx is not None else None)
 
 

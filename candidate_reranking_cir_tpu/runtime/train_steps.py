@@ -54,9 +54,12 @@ class TrainState:
 # Stage I
 
 
-_VIT_CHUNK = 64  # frozen-ViT embeds run as a lax.scan over chunks this size:
+_VIT_CHUNK = 32  # frozen-ViT embeds run as a lax.scan over chunks this size:
                  # at bs=512 the monolithic forward holds ~454 MB/layer of
-                 # activations and runs 575 img/s vs 640 chunked (measured)
+                 # activations and runs 575 img/s; chunked-64 640 img/s;
+                 # chunked-32 is the throughput peak of the batch sweep
+                 # (768 img/s standalone, tools/t_vit_sweep.py — throughput
+                 # FALLS with batch beyond 32 on v5e)
 
 
 def _frozen_embed(model, params, images, *, pooled: bool):

@@ -230,3 +230,47 @@ def test_predict_queries_l_buckets_bit_exact():
     single = np.asarray(predict_queries(fuse, tok, caps, refs, feats,
                                         index_names, l_buckets=None, **kw))
     np.testing.assert_allclose(bucketed, single, rtol=1e-6, atol=1e-7)
+
+
+def test_embed_scan_matches_per_batch_embed():
+    """make_embed_scan (one-dispatch index build) must equal the per-batch
+    embed exactly."""
+    import jax
+    import jax.numpy as jnp
+    from candidate_reranking_cir_tpu.config import (
+        RetrievalModelConfig,
+        TextEncoderConfig,
+        ViTConfig,
+    )
+    from candidate_reranking_cir_tpu.models.blip_retrieval import (
+        RetrievalModel,
+    )
+    from candidate_reranking_cir_tpu.retrieval.validate_engine import (
+        make_embed_scan,
+        make_stage1_fns,
+    )
+
+    cfg = RetrievalModelConfig(
+        vit=ViTConfig(image_size=16, patch_size=8, hidden_size=16,
+                      num_layers=1, num_heads=2),
+        text=TextEncoderConfig(vocab_size=128, hidden_size=16, num_layers=1,
+                               num_heads=2, intermediate_size=32,
+                               encoder_width=16),
+        embed_dim=8, text_len=8)
+    model = RetrievalModel(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((2, 16, 16, 3)),
+                        jnp.ones((2, 8), jnp.int32),
+                        jnp.ones((2, 8), jnp.int32))
+    embed, _ = make_stage1_fns(model, params)
+    embed_scan = make_embed_scan(model, params)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(3, 4, 16, 16, 3)), jnp.float32)
+    raw_s, pooled_s = embed_scan(imgs)
+    assert raw_s.shape[:2] == (3, 4) and pooled_s.shape == (3, 4, 8)
+    for i in range(3):
+        raw_b, pooled_b = embed(imgs[i])
+        np.testing.assert_allclose(np.asarray(raw_s[i]), np.asarray(raw_b),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pooled_s[i]),
+                                   np.asarray(pooled_b), atol=1e-6)
