@@ -10,9 +10,14 @@ exact fp32 softmax, and the PV contraction without ever leaving VMEM — no
 online-softmax bookkeeping needed at these shapes.
 
 Layout: q [B, Lq, H, D], k/v [B, M, H, D] (the framework's native layout);
-grid (B, H). The wrapper pads Lq and M to tile multiples and masks padded
-keys with the framework's -10000-style additive convention (padded queries
-produce garbage rows that the wrapper slices off).
+grid (B, lq-blocks). Arrays are NOT host-padded to tile multiples: block
+shapes match the logical dims exactly (tile-UNaligned blocks are legal —
+Mosaic masks the physical tile padding inside each block's own VMEM), so
+every DMA stays in-bounds with zero pad/slice traffic. Explicit jnp.pads
+measured 2.9x the whole attention call at ViT shapes, and block shapes
+reaching past the array's physical allocation (the masked-edge-block
+design) crashed the TPU worker with out-of-bounds DMAs at rerank scale —
+see tools/t_nopad_attn.py.
 
 Backward: custom_vjp whose backward is the standard XLA attention backward
 (exact, recompute-based). The forward is where eval throughput lives; a
@@ -27,23 +32,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e9
-
-
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _head_attention(q, k, v, bias, kv_len: int, scale: float, out_dtype):
-    """[Lq, D] x [M_pad, D] -> [Lq, D]; exact fp32 softmax in VMEM."""
+def _head_attention(q, k, v, bias, scale: float, out_dtype):
+    """[Lq, D] x [M, D] -> [Lq, D]; exact fp32 softmax in VMEM.
+
+    All block shapes exactly match the logical array dims (possibly
+    tile-UNaligned — Mosaic masks the physical tile padding inside the
+    block's own VMEM allocation), so there are no garbage keys or rows to
+    mask here and every DMA is in-bounds."""
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     if bias is not None:
         scores = scores + bias
-    if k.shape[0] != kv_len:
-        key_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(key_idx < kv_len, scores, NEG_INF)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     probs = jnp.exp(scores)
     probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(v.dtype)
@@ -53,26 +57,24 @@ def _head_attention(q, k, v, bias, kv_len: int, scale: float, out_dtype):
     return out.astype(out_dtype)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float,
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                  num_heads: int):
     """One program per batch entry, all heads looped inside (12x fewer
     programs than a (batch, head) grid — per-program overhead dominated the
     first design at these small shapes). Refs blocked [1, H, L, D]."""
     for h in range(num_heads):
         o_ref[0, h] = _head_attention(
-            q_ref[0, h], k_ref[0, h], v_ref[0, h], None, kv_len, scale,
-            o_ref.dtype)
+            q_ref[0, h], k_ref[0, h], v_ref[0, h], None, scale, o_ref.dtype)
 
 
-def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, kv_len: int,
-                      scale: float, num_heads: int):
+def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float,
+                      num_heads: int):
     """Variant with an additive bias [Lq, M] (text self-attention masks),
     shared across heads."""
     bias = b_ref[0].astype(jnp.float32)
     for h in range(num_heads):
         o_ref[0, h] = _head_attention(
-            q_ref[0, h], k_ref[0, h], v_ref[0, h], bias, kv_len, scale,
-            o_ref.dtype)
+            q_ref[0, h], k_ref[0, h], v_ref[0, h], bias, scale, o_ref.dtype)
 
 
 def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
@@ -87,35 +89,50 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
     scale = d ** -0.5
 
     sublane = 16 if q.dtype == jnp.bfloat16 else 8
-    lq_pad = _round_up(lq, sublane)
-    m_pad = _round_up(m, 128)
 
-    # block long query sequences (e.g. the candidate-major fold of B*Lq rows)
-    # so one program's q block + per-head fp32 scores stay inside the scoped
-    # VMEM budget; softmax is exact per row regardless (full M in VMEM).
-    # Block size balances the blocks instead of forcing 512: a ViT-length
-    # query (lq_pad 592) runs as ONE 592-row block, not 2x512 with 43% of
-    # rows padding (which cost ~8% of the whole ViT forward).
-    if lq_pad <= 768:
-        lq_block = lq_pad
+    # Block long query sequences (e.g. the candidate-major fold of B*Lq
+    # rows) so one program's q block + per-head fp32 scores stay inside the
+    # scoped VMEM budget; softmax is exact per row regardless (full M in
+    # VMEM). Block shapes must cover the q-row axis EXACTLY: a block
+    # reaching past the array's physical allocation makes Mosaic issue
+    # out-of-bounds DMAs, which crashed the TPU worker at rerank scale.
+    # Preference order (explicit jnp.pads of q/k/v measured 2.9x the whole
+    # attention call at ViT shapes, tools/t_nopad_attn.py):
+    #   1. lq <= 768: one exact block of lq rows (tile-unaligned is fine —
+    #      Mosaic masks the physical tile padding inside the block's VMEM);
+    #      a ViT-length query (577) runs as ONE block, not 2x512 with 43%
+    #      of rows padding (which cost ~8% of the whole ViT forward).
+    #   2. a sublane-aligned divisor of lq in [384, 768] (candidate-major
+    #      folds are power-of-two-rich, so one nearly always exists);
+    #   3. fall back to padding q (and bias rows) only — k/v, the bulk of
+    #      the bytes, are never padded.
+    lq_pad, pad_rows = lq, 0
+    if lq <= 768:
+        lq_block = lq
     else:
-        n_blocks = -(-lq_pad // 512)
-        lq_block = _round_up(-(-lq_pad // n_blocks), sublane)
-        lq_pad = lq_block * n_blocks
+        for n_blocks in range(-(-lq // 768), lq + 1):
+            if lq % n_blocks == 0 and (lq // n_blocks) % sublane == 0 \
+                    and lq // n_blocks >= 384:
+                lq_block = lq // n_blocks
+                break
+        else:
+            n_blocks = -(-lq // 512)
+            lq_block = _round_up(-(-lq // n_blocks), sublane)
+            lq_pad = lq_block * n_blocks
+            pad_rows = lq_pad - lq
     n_lq_blocks = lq_pad // lq_block
 
-    # Mosaic wants the last two block dims tile-aligned: run in [B, H, L, D]
-    q = jnp.pad(q.transpose(0, 2, 1, 3),
-                ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
-    k = jnp.pad(k.transpose(0, 2, 1, 3),
-                ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
-    v = jnp.pad(v.transpose(0, 2, 1, 3),
-                ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+    # Run in [B, H, L, D]; k/v keep their exact M rows (no pads, no masks).
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    if pad_rows:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
 
     grid = (b, n_lq_blocks)
     q_spec = pl.BlockSpec((1, h, lq_block, d), lambda i, j: (i, 0, j, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, h, m_pad, d), lambda i, j: (i, 0, 0, 0),
+    kv_spec = pl.BlockSpec((1, h, m, d), lambda i, j: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((1, h, lq_block, d), lambda i, j: (i, 0, j, 0),
                           memory_space=pltpu.VMEM)
@@ -125,37 +142,42 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
         flops=2 * b * h * lq * m * d * 2,
         bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
         transcendentals=b * h * lq * m)
+    # fp32 at ViT shapes sits just over the default 16 MB scoped-VMEM limit
+    # (16.41 MB); v5e has 128 MB VMEM, so give the scheduler headroom
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
     if bias is None:
         out = pl.pallas_call(
-            functools.partial(_attn_kernel, kv_len=m, scale=scale,
-                              num_heads=h),
+            functools.partial(_attn_kernel, scale=scale, num_heads=h),
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=o_spec,
             out_shape=out_shape,
             cost_estimate=cost,
+            compiler_params=params,
             interpret=interpret,
         )(q, k, v)
     else:
-        # broadcast bias to [B, Lq_pad, M_pad] (head-independent masks only)
+        # broadcast bias to [B, Lq, M] (head-independent masks only)
         bias3 = jnp.broadcast_to(bias[:, 0] if bias.ndim == 4 else bias,
                                  (b, lq, m)).astype(jnp.float32)
-        bias3 = jnp.pad(bias3, ((0, 0), (0, lq_pad - lq), (0, m_pad - m)))
-        b_spec = pl.BlockSpec((1, lq_block, m_pad), lambda i, j: (i, j, 0),
+        if pad_rows:
+            bias3 = jnp.pad(bias3, ((0, 0), (0, pad_rows), (0, 0)))
+        b_spec = pl.BlockSpec((1, lq_block, m), lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            functools.partial(_attn_bias_kernel, kv_len=m, scale=scale,
-                              num_heads=h),
+            functools.partial(_attn_bias_kernel, scale=scale, num_heads=h),
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec, b_spec],
             out_specs=o_spec,
             out_shape=out_shape,
             cost_estimate=cost,
+            compiler_params=params,
             interpret=interpret,
         )(q, k, v, bias3)
 
-    return out.transpose(0, 2, 1, 3)[:, :lq]
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, :lq] if pad_rows else out
 
 
 def _xla_attention(q, k, v, bias):

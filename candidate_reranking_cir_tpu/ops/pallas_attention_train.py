@@ -43,13 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e9
 _M1 = 0x7FEB352D - (1 << 32) * 0  # 2135587861, fits int32
 _M2 = -2073376117  # int32 view of 0x846CA68B
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _lowbias32(x):
@@ -91,27 +86,27 @@ def _softmax_fp32(scores):
     return probs / jnp.sum(probs, axis=-1, keepdims=True)
 
 
-def _head_scores(q, k, bias, kv_len: int, scale: float):
-    """[L, D] x [M_pad, D] -> fp32 [L, M_pad] masked scores."""
+def _head_scores(q, k, bias, scale: float):
+    """[L, D] x [M, D] -> fp32 [L, M] scores. Blocks match the logical dims
+    exactly (no padded keys to mask; a block reaching past the array's
+    physical allocation makes Mosaic issue out-of-bounds DMAs — see the eval
+    kernel's history in ops/pallas_attention.py)."""
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     if bias is not None:
         scores = scores + bias
-    if k.shape[0] != kv_len:
-        key_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(key_idx < kv_len, scores, NEG_INF)
     return scores
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, b_ref, o_ref, *, kv_len: int,
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, b_ref, o_ref, *,
                 scale: float, num_heads: int, rate: float, has_bias: bool):
     b = pl.program_id(0)
     seed = seed_ref[0]
     bias = b_ref[0].astype(jnp.float32) if has_bias else None
     for h in range(num_heads):
         probs = _softmax_fp32(
-            _head_scores(q_ref[0, h], k_ref[0, h], bias, kv_len, scale))
+            _head_scores(q_ref[0, h], k_ref[0, h], bias, scale))
         if rate > 0.0:
             keep = _keep_mask(seed, b, h, probs.shape, rate)
             probs = jnp.where(keep, probs * (1.0 / (1.0 - rate)), 0.0)
@@ -122,7 +117,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, b_ref, o_ref, *, kv_len: int,
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, b_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *, kv_len: int, scale: float,
+                dq_ref, dk_ref, dv_ref, *, scale: float,
                 num_heads: int, rate: float, has_bias: bool):
     b = pl.program_id(0)
     seed = seed_ref[0]
@@ -133,7 +128,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, b_ref, g_ref,
         k = k_ref[0, h]
         v = v_ref[0, h]
         g = g_ref[0, h].astype(jnp.float32)
-        probs = _softmax_fp32(_head_scores(q, k, bias, kv_len, scale))
+        probs = _softmax_fp32(_head_scores(q, k, bias, scale))
         if rate > 0.0:
             keep = _keep_mask(seed, b, h, probs.shape, rate)
             dropped = jnp.where(keep, probs * inv, 0.0)
@@ -155,9 +150,6 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, b_ref, g_ref,
         # softmax backward (fp32, exact)
         d_scores = probs * (
             d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True))
-        if k.shape[0] != kv_len:
-            key_idx = jax.lax.broadcasted_iota(jnp.int32, d_scores.shape, 1)
-            d_scores = jnp.where(key_idx < kv_len, d_scores, 0.0)
         d_scores = d_scores * scale
         dq_ref[0, h] = jax.lax.dot_general(
             d_scores.astype(q.dtype), k, (((1,), (0,)), ((), ())),
@@ -181,35 +173,31 @@ MIN_ROWS = 128  # minimum query rows per program: at stage-I MED shapes
 
 
 def _prep(q, k, v, bias):
-    """Common padding/layout: [B, L, H, D] -> [B, H, L_pad, D] (+ bias3)."""
+    """Common layout: [B, L, H, D] -> [B, H, L, D] (+ bias3). NO padding —
+    block shapes match the logical dims exactly (tile-unaligned blocks are
+    legal; Mosaic masks the physical tile padding inside each block's own
+    VMEM), so every DMA is in-bounds with zero pad/slice traffic."""
     b, lq, h, d = q.shape
     m = k.shape[1]
-    sublane = 16 if q.dtype == jnp.bfloat16 else 8
-    lq_pad = _round_up(lq, max(sublane, 8))
-    m_pad = _round_up(m, 128)
-    qt = jnp.pad(q.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
-    kt = jnp.pad(k.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
-    vt = jnp.pad(v.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
     if bias is not None:
         bias3 = jnp.broadcast_to(bias[:, 0] if bias.ndim == 4 else bias,
                                  (b, lq, m)).astype(jnp.float32)
-        bias3 = jnp.pad(bias3, ((0, 0), (0, lq_pad - lq), (0, m_pad - m)))
     else:
         bias3 = jnp.zeros((b, 8, 128), jnp.float32)  # placeholder operand
-    return qt, kt, vt, bias3, lq_pad, m_pad
+    return qt, kt, vt, bias3
 
 
-def _specs(b, h, lq_pad, m_pad, d, has_bias):
+def _specs(b, h, lq, m, d, has_bias):
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    q_spec = pl.BlockSpec((1, h, lq_pad, d), lambda i: (i, 0, 0, 0),
+    q_spec = pl.BlockSpec((1, h, lq, d), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, h, m_pad, d), lambda i: (i, 0, 0, 0),
+    kv_spec = pl.BlockSpec((1, h, m, d), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     if has_bias:
-        b_spec = pl.BlockSpec((1, lq_pad, m_pad), lambda i: (i, 0, 0),
+        b_spec = pl.BlockSpec((1, lq, m), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
         b_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
@@ -235,25 +223,24 @@ def _fwd_impl(q, k, v, bias, seed, rate: float, interpret: bool | None):
     m = k.shape[1]
     scale = d ** -0.5
     has_bias = bias is not None
-    qt, kt, vt, bias3, lq_pad, m_pad = _prep(q, k, v, bias)
-    seed_spec, q_spec, kv_spec, b_spec = _specs(b, h, lq_pad, m_pad, d,
-                                                has_bias)
+    qt, kt, vt, bias3 = _prep(q, k, v, bias)
+    seed_spec, q_spec, kv_spec, b_spec = _specs(b, h, lq, m, d, has_bias)
     cost = pl.CostEstimate(
         flops=2 * b * h * lq * m * d * 2,
         bytes_accessed=(qt.size + kt.size + vt.size) * q.dtype.itemsize,
         transcendentals=b * h * lq * m)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, kv_len=m, scale=scale, num_heads=h,
+        functools.partial(_fwd_kernel, scale=scale, num_heads=h,
                           rate=rate, has_bias=has_bias),
         grid=(b,),
         in_specs=[seed_spec, q_spec, kv_spec, kv_spec, b_spec],
         out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, lq_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
         cost_estimate=cost,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(seed, qt, kt, vt, bias3)
-    return out.transpose(0, 2, 1, 3)[:, :lq]
+    return out.transpose(0, 2, 1, 3)
 
 
 def _bwd_impl(q, k, v, bias, seed, g, rate: float, interpret: bool | None):
@@ -263,31 +250,29 @@ def _bwd_impl(q, k, v, bias, seed, g, rate: float, interpret: bool | None):
     m = k.shape[1]
     scale = d ** -0.5
     has_bias = bias is not None
-    qt, kt, vt, bias3, lq_pad, m_pad = _prep(q, k, v, bias)
-    gt = jnp.pad(g.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
-    seed_spec, q_spec, kv_spec, b_spec = _specs(b, h, lq_pad, m_pad, d,
-                                                has_bias)
+    qt, kt, vt, bias3 = _prep(q, k, v, bias)
+    gt = g.transpose(0, 2, 1, 3)
+    seed_spec, q_spec, kv_spec, b_spec = _specs(b, h, lq, m, d, has_bias)
     cost = pl.CostEstimate(
         flops=5 * 2 * b * h * lq * m * d,
         bytes_accessed=2 * (qt.size + kt.size + vt.size) * q.dtype.itemsize,
         transcendentals=b * h * lq * m)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, kv_len=m, scale=scale, num_heads=h,
+        functools.partial(_bwd_kernel, scale=scale, num_heads=h,
                           rate=rate, has_bias=has_bias),
         grid=(b,),
         in_specs=[seed_spec, q_spec, kv_spec, kv_spec, b_spec, q_spec],
         out_specs=(q_spec, kv_spec, kv_spec),
-        out_shape=(jax.ShapeDtypeStruct((b, h, lq_pad, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, m_pad, d), k.dtype),
-                   jax.ShapeDtypeStruct((b, h, m_pad, d), v.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, m, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, m, d), v.dtype)),
         cost_estimate=cost,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(seed, qt, kt, vt, bias3, gt)
-    dq = dq.transpose(0, 2, 1, 3)[:, :lq]
-    dk = dk.transpose(0, 2, 1, 3)[:, :m]
-    dv = dv.transpose(0, 2, 1, 3)[:, :m]
+    dq = dq.transpose(0, 2, 1, 3)
+    dk = dk.transpose(0, 2, 1, 3)
+    dv = dv.transpose(0, 2, 1, 3)
     return dq, dk, dv
 
 

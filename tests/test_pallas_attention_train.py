@@ -38,14 +38,15 @@ def _xla_attention(q, k, v, bias, keep=None, rate=0.0):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _expected_keep(seed, b, h, lq, m, lq_pad, m_pad, rate):
-    """Replicate the kernel's per-(batch, head) mask at logical size."""
+def _expected_keep(seed, b, h, lq, m, rate):
+    """Replicate the kernel's per-(batch, head) mask (logical shapes — the
+    kernel's blocks match the logical dims exactly, no padding)."""
     full = np.stack([
         np.stack([np.asarray(reference_keep_mask(seed, bi, hi,
-                                                 (lq_pad, m_pad), rate))
+                                                 (lq, m), rate))
                   for hi in range(h)])
         for bi in range(b)])
-    return jnp.asarray(full[:, :, :lq, :m])
+    return jnp.asarray(full)
 
 
 SEED = jnp.array([12345], jnp.int32)
@@ -79,7 +80,7 @@ def test_dropout_matches_xla_with_replicated_mask():
     k = _rand(1, b, m, h, d)
     v = _rand(2, b, m, h, d)
     out = fused_attention_train(q, k, v, None, SEED, rate)
-    keep = _expected_keep(SEED[0], b, h, lq, m, 16, 128, rate)
+    keep = _expected_keep(SEED[0], b, h, lq, m, rate)
     ref = _xla_attention(q, k, v, None, keep=keep, rate=rate)
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
@@ -91,7 +92,7 @@ def test_dropout_gradients_match_xla_with_replicated_mask():
     k = _rand(1, b, m, h, d)
     v = _rand(2, b, m, h, d)
     cot = _rand(3, b, lq, h, d)
-    keep = _expected_keep(SEED[0], b, h, lq, m, 8, 128, rate)
+    keep = _expected_keep(SEED[0], b, h, lq, m, rate)
 
     def fused_loss(q, k, v):
         return jnp.vdot(fused_attention_train(q, k, v, None, SEED, rate), cot)
@@ -115,7 +116,7 @@ def test_gradients_with_bias_and_dropout():
     cot = _rand(3, b, lq, h, d)
     mask = (jnp.arange(m)[None] < jnp.array([[6], [9]])).astype(jnp.int32)
     bias = jnp.broadcast_to(make_additive_mask(mask), (b, 1, lq, m))
-    keep = _expected_keep(SEED[0], b, h, lq, m, 16, 128, rate)
+    keep = _expected_keep(SEED[0], b, h, lq, m, rate)
 
     def fused_loss(q, k, v):
         return jnp.vdot(fused_attention_train(q, k, v, bias, SEED, rate), cot)
@@ -132,7 +133,7 @@ def test_gradients_with_bias_and_dropout():
 
 def test_keep_rate_statistics():
     rate = 0.1
-    masks = _expected_keep(777, 4, 4, 64, 128, 64, 128, rate)
+    masks = _expected_keep(777, 4, 4, 64, 128, rate)
     got = 1.0 - float(jnp.mean(masks.astype(jnp.float32)))
     assert abs(got - rate) < 0.01, got
 

@@ -1,85 +1,75 @@
-"""Can the eval attention kernel drop its explicit jnp.pads (measured ~8% of
-the ViT forward) by letting Mosaic mask non-tile-aligned edge blocks?"""
+"""Validate the no-host-pad eval kernel: numerics vs XLA attention at a
+sweep of (lq, m) shapes incl. non-tile-aligned and bias paths, + speed."""
 import sys
 import time
-import functools
 
 sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from candidate_reranking_cir_tpu.ops.pallas_attention import (
-    _attn_kernel, _round_up, fused_attention)
+from candidate_reranking_cir_tpu.ops.attention import (
+    dot_product_attention, make_additive_mask)
 from bench import measure_rtt
 
-B, L, H, D = 32, 577, 12, 64
 
-
-def nopad_attention(q, k, v):
-    """q [B, L, H, D]; k, v [B, M, H, D] — no host-side padding: block
-    shapes are tile-aligned but the array dims are not; Mosaic pads edge
-    blocks internally (reads garbage, writes masked)."""
-    b, lq, h, d = q.shape
-    m = k.shape[1]
-    scale = d ** -0.5
-    sublane = 16 if q.dtype == jnp.bfloat16 else 8
-    lq_pad = _round_up(lq, sublane)
-    m_pad = _round_up(m, 128)
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    grid = (b,)
-    q_spec = pl.BlockSpec((1, h, lq_pad, d), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, h, m_pad, d), lambda i: (i, 0, 0, 0),
-                           memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, kv_len=m, scale=scale, num_heads=h),
-        grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
-        interpret=jax.default_backend() != "tpu",
-    )(qt, kt, vt)
-    return out.transpose(0, 2, 1, 3)
-
-
-def chain_time(fn, args, rtt, iters=12, warmup=2):
-    @jax.jit
-    def chain(*a):
-        def body(c, _):
-            out = fn(a[0] + c.astype(a[0].dtype), *a[1:])
-            return jnp.mean(out.astype(jnp.float32)) * 1e-9, None
-        c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
-        return c
-
-    for _ in range(warmup):
-        float(chain(*args))
-    t0 = time.perf_counter()
-    float(chain(*args))
-    return max(time.perf_counter() - t0 - rtt, 1e-9) / iters
+def xla_ref(q, k, v, bias):
+    return dot_product_attention(q, k, v, bias, fused=False)
 
 
 def main():
     rtt = measure_rtt()
     rng = np.random.default_rng(0)
+    H, D = 12, 64
+    for (b, lq, m, with_bias, dtype) in [
+        (2, 577, 577, False, jnp.bfloat16),   # ViT self-attn
+        (2, 577, 577, False, jnp.float32),
+        (3, 40, 577, False, jnp.bfloat16),    # text->image cross
+        (3, 24, 24, True, jnp.bfloat16),      # text self with mask
+        (2, 128, 128, False, jnp.bfloat16),   # exactly aligned (no garbage)
+        (2, 5, 13, True, jnp.float32),        # tiny, CPU-test-like
+        (1, 1200, 640, False, jnp.bfloat16),  # multi-block lq
+    ]:
+        q = jnp.asarray(rng.normal(size=(b, lq, H, D)) * 0.3, dtype)
+        k = jnp.asarray(rng.normal(size=(b, m, H, D)) * 0.3, dtype)
+        v = jnp.asarray(rng.normal(size=(b, m, H, D)) * 0.3, dtype)
+        bias = None
+        if with_bias:
+            mask = (rng.random((b, m)) > 0.3).astype(np.float32)
+            mask[:, 0] = 1.0
+            bias = make_additive_mask(jnp.asarray(mask))
+        a = dot_product_attention(q, k, v, bias, fused=True)
+        r = xla_ref(q, k, v, bias)
+        err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                    - r.astype(jnp.float32))))
+        nan = bool(jnp.any(jnp.isnan(a)))
+        tol = 3e-2 if dtype == jnp.bfloat16 else 2e-5
+        status = "OK " if (err < tol and not nan) else "FAIL"
+        print(f"{status} b={b} lq={lq} m={m} bias={with_bias} "
+              f"{jnp.dtype(dtype).name}: maxerr={err:.2e} nan={nan}",
+              flush=True)
+
+    # speed at the ViT shape
+    B, L = 32, 577
     q = jnp.asarray(rng.normal(size=(B, L, H, D)) * 0.05, jnp.bfloat16)
     k = jnp.asarray(rng.normal(size=(B, L, H, D)) * 0.05, jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(B, L, H, D)) * 0.05, jnp.bfloat16)
 
-    a = nopad_attention(q, k, v)
-    b_ = fused_attention(q, k, v, None)
-    err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b_.astype(jnp.float32))))
-    print("max abs diff vs padded kernel:", err, flush=True)
+    @jax.jit
+    def chain(q, k, v):
+        def body(c, _):
+            out = dot_product_attention(q + c.astype(q.dtype), k, v, None,
+                                        fused=True)
+            return jnp.mean(out.astype(jnp.float32)) * 1e-9, None
+        c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=12)
+        return c
 
-    dt = chain_time(lambda q, k, v: fused_attention(q, k, v, None),
-                    (q, k, v), rtt)
-    print(f"padded kernel: {dt*1e3:.3f} ms/call", flush=True)
-    dt = chain_time(nopad_attention, (q, k, v), rtt)
-    print(f"no-pad kernel: {dt*1e3:.3f} ms/call", flush=True)
+    float(chain(q, k, v)); float(chain(q, k, v))
+    t0 = time.perf_counter()
+    float(chain(q, k, v))
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / 12
+    print(f"ViT-shape attention: {dt*1e3:.3f} ms/call (was 1.679 padded)",
+          flush=True)
 
 
 if __name__ == "__main__":
