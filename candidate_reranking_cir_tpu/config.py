@@ -66,6 +66,7 @@ class ViTConfig:
     remat: bool = False              # activation checkpointing per block
     remat_policy: str = ""           # '' | 'dots' (see TextEncoderConfig)
     fused_attention: bool = False    # Pallas fused attention kernel
+    scan_unroll: int = 1             # nn.scan unroll factor for the block stack
 
     @property
     def num_patches(self) -> int:

@@ -79,12 +79,22 @@ class HeadProjection(nn.Module):
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, flat: bool = False):
+        """flat=True returns [..., H*D] from a single full-width matmul (no
+        per-head relayout) — the layout the head-folded Pallas kernel
+        consumes. The default einsum form lowers to a layout that feeds the
+        unfolded [B, L, H, D] kernel without copies; its matmul N-dim is
+        head_dim=64 (half the MXU lanes idle), which is why the folded
+        layout is the fast path (tools/t_vit_hlo.py, t_folded_attn.py)."""
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.num_heads, self.head_dim),
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.num_heads, self.head_dim), jnp.float32)
+        if flat:
+            y = jnp.dot(x, kernel.astype(self.dtype).reshape(x.shape[-1], -1),
+                        preferred_element_type=jnp.float32).astype(self.dtype)
+            return y + bias.astype(self.dtype).reshape(-1)
         y = jnp.einsum("...d,dhk->...hk", x, kernel.astype(self.dtype),
                        preferred_element_type=jnp.float32).astype(self.dtype)
         return y + bias.astype(self.dtype)
@@ -97,13 +107,25 @@ class HeadOutProjection(nn.Module):
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.normal(stddev=0.02)
 
+    num_heads: int | None = None  # required for flat=True input
+    head_dim: int | None = None
+
     @nn.compact
-    def __call__(self, x):
-        h, d = x.shape[-2:]
+    def __call__(self, x, *, flat: bool = False):
+        if flat:
+            h, d = self.num_heads, self.head_dim
+        else:
+            h, d = x.shape[-2:]
         kernel = self.param("kernel", self.kernel_init,
                             (h, d, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
+        if flat:
+            # x [..., H*K] — same contraction as the einsum below with the
+            # head axes pre-flattened (bitwise-identical MXU accumulation)
+            y = jnp.dot(x, kernel.astype(self.dtype).reshape(h * d, -1),
+                        preferred_element_type=jnp.float32).astype(self.dtype)
+            return y + bias.astype(self.dtype)
         y = jnp.einsum("...hk,hkd->...d", x, kernel.astype(self.dtype),
                        preferred_element_type=jnp.float32).astype(self.dtype)
         return y + bias.astype(self.dtype)
@@ -150,6 +172,42 @@ class MultiHeadAttention(nn.Module):
                           (out, (new_k_cache, new_v_cache)).
         """
         y = x if y is None else y
+        # Head-folded fast path: projections stay in matmul-native
+        # [..., H*D] layout end-to-end and the folded Pallas kernel slices
+        # heads on the lane dim — avoids the [B, L, H, D] relayout the
+        # unfolded kernel forces onto the q/k/v projections (measured: the
+        # einsum projection lowers to an N=64 conv at 45% MFU vs 58%+ for
+        # the full-width matmul; tools/t_vit_hlo.py, t_folded_attn.py).
+        folded = (self.fused and not kv_only and cache is None
+                  and precomputed_kv is None
+                  and not self.capture_attention
+                  and not self.perturb_attention
+                  and (deterministic or self.dropout_rate == 0.0)
+                  and (bias is None
+                       or (bias.ndim >= 3 and bias.shape[-3] == 1))
+                  # pays off for long query rows (ViT's 577-token
+                  # self-attention: 852 -> 978 img/s); at short text widths
+                  # (<=64-token MED rows) the per-head lane slicing costs
+                  # more than the relayout it avoids (measured -5% on the
+                  # stage-I fusion phase)
+                  and x.shape[-2] >= 128)
+        if folded:
+            from candidate_reranking_cir_tpu.ops.attention import (
+                dot_product_attention_folded,
+            )
+
+            qf = HeadProjection(self.num_heads, self.head_dim, self.dtype,
+                                name="query")(x, flat=True)
+            kf = HeadProjection(self.num_heads, self.head_dim, self.dtype,
+                                name="key")(y, flat=True)
+            vf = HeadProjection(self.num_heads, self.head_dim, self.dtype,
+                                name="value")(y, flat=True)
+            ctx = dot_product_attention_folded(qf, kf, vf, bias,
+                                               num_heads=self.num_heads)
+            return HeadOutProjection(self.out_features, self.dtype,
+                                     num_heads=self.num_heads,
+                                     head_dim=self.head_dim,
+                                     name="out")(ctx, flat=True)
         if kv_only:
             k = HeadProjection(self.num_heads, self.head_dim, self.dtype,
                                name="key")(y)

@@ -125,6 +125,7 @@ class VisionTransformer(nn.Module):
             split_rngs={"params": True, "dropout": True},
             in_axes=(0, nn.broadcast),
             length=cfg.num_layers,
+            unroll=cfg.scan_unroll,
         )(cfg=cfg, dtype=self.dtype, name="blocks")
         x, _ = stack(x, dpr, deterministic)
 

@@ -85,6 +85,27 @@ def dot_product_attention(
     return out.astype(dtype)
 
 
+def dot_product_attention_folded(q, k, v, bias=None, *, num_heads: int):
+    """Head-folded twin of the fused eval path: q [..., Lq, H*D];
+    k, v [..., M, H*D]; bias None or head-independent broadcastable
+    [..., 1, Lq, M]. Returns [..., Lq, H*D] via the folded Pallas kernel
+    (ops/pallas_attention.py) — no [B, L, H, D] relayout in HBM."""
+    from candidate_reranking_cir_tpu.ops.pallas_attention import (
+        fused_attention_folded,
+    )
+
+    batch_shape = q.shape[:-2]
+    lq, hd = q.shape[-2:]
+    m = k.shape[-2]
+    if bias is not None:
+        bias = jnp.broadcast_to(
+            bias, (*batch_shape, 1, lq, m)).reshape(-1, 1, lq, m)
+    out = fused_attention_folded(
+        q.reshape(-1, lq, hd), k.reshape(-1, m, hd), v.reshape(-1, m, hd),
+        bias, num_heads=num_heads)
+    return out.reshape(*batch_shape, lq, hd)
+
+
 def _try_fused(q, k, v, bias):
     """Flatten leading batch dims and dispatch to the Pallas kernel.
     Returns None when the shape/bias layout is not kernel-compatible."""

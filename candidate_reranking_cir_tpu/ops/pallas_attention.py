@@ -180,6 +180,149 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
     return out[:, :lq] if pad_rows else out
 
 
+def _attn_kernel_folded(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        num_heads: int, head_dim: int):
+    """Head-FOLDED variant: refs are [1, L, H*D] (matmul-native layout, heads
+    on the lane dim). Each head is a 64-lane slice of the block — no
+    [B,L,H,D] relayout ever materializes in HBM, which lets the q/k/v
+    projections run as full-width [D, H*D] matmuls (the einsum '...d,dhk'
+    form lowers to an N=64 convolution at 45% MFU; measured
+    tools/t_vit_hlo.py / t_folded_attn.py: kernel alone 0.517 vs 0.708 ms at
+    ViT shapes, bitwise-identical output)."""
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        o_ref[0, :, sl] = _head_attention(
+            q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl], None, scale,
+            o_ref.dtype)
+
+
+def _attn_bias_kernel_folded(q_ref, k_ref, v_ref, b_ref, o_ref, *,
+                             scale: float, num_heads: int, head_dim: int):
+    bias = b_ref[0].astype(jnp.float32)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        o_ref[0, :, sl] = _head_attention(
+            q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl], bias, scale,
+            o_ref.dtype)
+
+
+def _fused_attention_folded_impl(q, k, v, bias, num_heads: int, *,
+                                 interpret: bool | None = None):
+    """q [B, Lq, H*D]; k, v [B, M, H*D]; bias None or broadcastable
+    [B, 1|H, Lq, M] additive (head-independent). Returns [B, Lq, H*D].
+
+    Same exact-block policy as the unfolded kernel: q-row blocking only,
+    k/v always one exact block."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, lq, hd = q.shape
+    m = k.shape[1]
+    d = hd // num_heads
+    scale = d ** -0.5
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+
+    lq_pad, pad_rows = lq, 0
+    if lq <= 768:
+        lq_block = lq
+    else:
+        for n_blocks in range(-(-lq // 768), lq + 1):
+            if lq % n_blocks == 0 and (lq // n_blocks) % sublane == 0 \
+                    and lq // n_blocks >= 384:
+                lq_block = lq // n_blocks
+                break
+        else:
+            n_blocks = -(-lq // 512)
+            lq_block = _round_up(-(-lq // n_blocks), sublane)
+            lq_pad = lq_block * n_blocks
+            pad_rows = lq_pad - lq
+    n_lq_blocks = lq_pad // lq_block
+    if pad_rows:
+        q = jnp.pad(q, ((0, 0), (0, pad_rows), (0, 0)))
+
+    grid = (b, n_lq_blocks)
+    q_spec = pl.BlockSpec((1, lq_block, hd), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, m, hd), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype)
+    cost = pl.CostEstimate(
+        flops=2 * b * num_heads * lq * m * d * 2,
+        bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+        transcendentals=b * num_heads * lq * m)
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+    if bias is None:
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel_folded, scale=scale,
+                              num_heads=num_heads, head_dim=d),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            compiler_params=params,
+            interpret=interpret,
+        )(q, k, v)
+    else:
+        bias3 = jnp.broadcast_to(bias[:, 0] if bias.ndim == 4 else bias,
+                                 (b, lq, m)).astype(jnp.float32)
+        if pad_rows:
+            bias3 = jnp.pad(bias3, ((0, 0), (0, pad_rows), (0, 0)))
+        b_spec = pl.BlockSpec((1, lq_block, m), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_attn_bias_kernel_folded, scale=scale,
+                              num_heads=num_heads, head_dim=d),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec, b_spec],
+            out_specs=q_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            compiler_params=params,
+            interpret=interpret,
+        )(q, k, v, bias3)
+
+    return out[:, :lq] if pad_rows else out
+
+
+def _xla_attention_folded(q, k, v, bias, num_heads: int):
+    b, l, hd = q.shape
+    m = k.shape[1]
+    d = hd // num_heads
+    out = _xla_attention(q.reshape(b, l, num_heads, d),
+                         k.reshape(b, m, num_heads, d),
+                         v.reshape(b, m, num_heads, d), bias)
+    return out.reshape(b, l, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _folded_attention_vjp(num_heads, q, k, v, bias):
+    return _fused_attention_folded_impl(q, k, v, bias, num_heads)
+
+
+def _folded_fwd(num_heads, q, k, v, bias):
+    return (_fused_attention_folded_impl(q, k, v, bias, num_heads),
+            (q, k, v, bias))
+
+
+def _folded_bwd(num_heads, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_attention_folded(q, k, v, bias, num_heads),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_folded_attention_vjp.defvjp(_folded_fwd, _folded_bwd)
+
+
+def fused_attention_folded(q, k, v, bias=None, *, num_heads: int):
+    """Fused TPU attention over head-folded [B, L, H*D] arrays (exact fp32
+    softmax; differentiable via an XLA recompute backward)."""
+    return _folded_attention_vjp(num_heads, q, k, v, bias)
+
+
 def _xla_attention(q, k, v, bias):
     """Reference XLA path (also the vjp backward's recompute)."""
     scale = q.shape[-1] ** -0.5

@@ -90,3 +90,91 @@ def test_fused_gradient():
     _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, None), q, k, v)
     g_manual = vjp(jnp.ones((b, lq, h, d), jnp.float32))
     assert all(a.shape == b_.shape for a, b_ in zip(g_manual, g_ref))
+
+
+# ---------------------------------------------------------------------------
+# Head-folded kernel ([B, L, H*D] layout, heads sliced on the lane dim)
+
+
+@pytest.mark.parametrize("lq,m", [(577, 577), (40, 577), (900, 900)])
+def test_folded_matches_xla(lq, m):
+    from candidate_reranking_cir_tpu.ops.pallas_attention import (
+        _fused_attention_folded_impl,
+    )
+
+    rng = np.random.default_rng(4)
+    b, h, d = 2, 3, 64
+    q = jnp.asarray(rng.normal(size=(b, lq, h * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, m, h * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, m, h * d)), jnp.float32)
+
+    ref = _xla_attention(q.reshape(b, lq, h, d), k.reshape(b, m, h, d),
+                         v.reshape(b, m, h, d), None).reshape(b, lq, h * d)
+    out = _fused_attention_folded_impl(q, k, v, None, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_folded_matches_xla_with_bias():
+    from candidate_reranking_cir_tpu.ops.pallas_attention import (
+        _fused_attention_folded_impl,
+    )
+
+    rng = np.random.default_rng(5)
+    b, lq, m, h, d = 2, 33, 47, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, lq, h * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, m, h * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, m, h * d)), jnp.float32)
+    mask = (rng.random((b, m)) > 0.3).astype(np.float32)
+    mask[:, 0] = 1
+    bias = jnp.broadcast_to(make_additive_mask(jnp.asarray(mask)),
+                            (b, 1, lq, m))
+
+    ref = _xla_attention(q.reshape(b, lq, h, d), k.reshape(b, m, h, d),
+                         v.reshape(b, m, h, d), bias).reshape(b, lq, h * d)
+    out = _fused_attention_folded_impl(q, k, v, bias, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_folded_gradient():
+    from candidate_reranking_cir_tpu.ops.pallas_attention import (
+        fused_attention_folded,
+    )
+
+    rng = np.random.default_rng(6)
+    b, lq, m, h, d = 1, 8, 16, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, lq, h * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, m, h * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, m, h * d)), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention_folded(q, k, v, num_heads=h) ** 2)
+
+    def loss_ref(q, k, v):
+        out = _xla_attention(q.reshape(b, lq, h, d), k.reshape(b, m, h, d),
+                             v.reshape(b, m, h, d), None)
+        return jnp.sum(out.reshape(b, lq, h * d) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_folded_model_path_matches_unfolded():
+    """A fused ViT forward (folded path engages at 577 tokens) must match
+    the non-fused XLA path exactly at fp32."""
+    import dataclasses
+
+    from candidate_reranking_cir_tpu.config import vit_config
+    from candidate_reranking_cir_tpu.models.vit import VisionTransformer
+
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.normal(size=(2, 208, 208, 3)) * 0.3, jnp.float32)
+    outs = []
+    for fused in (False, True):
+        cfg = dataclasses.replace(vit_config("base", 208), num_layers=2,
+                                  fused_attention=fused)
+        model = VisionTransformer(cfg, jnp.float32)
+        params = model.init(jax.random.key(0), imgs)
+        outs.append(np.asarray(model.apply(params, imgs)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
