@@ -469,7 +469,7 @@ def bench_stage1_eval(rtt):
     im = cfg.vit.image_size
     # embed_bs=32: the ViT throughput peak (768 img/s vs 640 at 64 — see
     # tools/t_vit_sweep.py; throughput falls with batch on v5e)
-    n_idx, n_q, embed_bs, q_batch = 2297, 4181, 32, 256  # CIRR-val scale
+    n_idx, n_q, embed_bs, q_batch = 2297, 4181, 32, 128  # CIRR-val scale
 
     ids0 = jnp.ones((2, L), jnp.int32)
     params = rand_params(
