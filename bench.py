@@ -63,12 +63,15 @@ def vit_fwd_flops(s=S, d=D, layers=NL) -> float:
     return patch + layers * per_layer
 
 
-def med_fwd_flops(l: float, s=S, d=D, layers=NL) -> float:
+def med_fwd_flops(l: float, s=S, d=D, layers=NL, kv_share: float = 1.0) -> float:
     """MED multimodal forward at caption length l (med.py:414-508):
     self-attn + cross-attn (K/V over the s image tokens: the 4sd^2 term
-    dominates at small l) + FFN."""
+    dominates at small l) + FFN. ``kv_share``: fraction of the image-K/V
+    projection cost actually paid per query (1.0 = per-query, the
+    reference; <1 under this framework's reference-image-major fusion,
+    where queries sharing an image share its per-layer K/V)."""
     self_ = 8 * l * d * d + 4 * l * l * d
-    cross = 4 * l * d * d + 4 * s * d * d + 4 * l * s * d
+    cross = 4 * l * d * d + 4 * s * d * d * kv_share + 4 * l * s * d
     ffn = 16 * l * d * d
     return layers * (self_ + cross + ffn)
 
@@ -522,7 +525,19 @@ def bench_stage1_eval(rtt):
     edges = sorted({bucket(p50), bucket(p90), L})
     widths = np.asarray([next(e for e in edges if e >= ln)
                          for ln in lengths], np.float64)
-    our_per_query = (med_fwd_flops(widths).mean()
+    # reference-image-major fusion (validate_engine.predict_queries): the
+    # per-layer image K/V projections run once per power-of-2 query chunk,
+    # not once per query — count the ACTUALLY dispatched K/V units so
+    # tflops/mfu reflect scheduled work (batch-tail padding <1%, ignored)
+    by_img: dict[int, int] = {}
+    for r in ref_idx:
+        by_img[int(r)] = by_img.get(int(r), 0) + 1
+    kv_units = 0
+    for c in by_img.values():
+        for qchunk in (8, 4, 2, 1):
+            kv_units += c // qchunk
+            c -= (c // qchunk) * qchunk
+    our_per_query = (med_fwd_flops(widths, kv_share=kv_units / n_q).mean()
                      + n_batches * embed_bs * vit_fwd_flops() / n_q)
 
     print("bench: compiling stage-I eval programs...", file=sys.stderr,

@@ -67,15 +67,21 @@ class RetrievalModel(nn.Module):
         return l2_normalize(self.vision_proj(feats[:, 0]))
 
     def fuse(self, ref_image_feats, input_ids, attention_mask, *,
-             return_raw: bool = False, deterministic: bool = True):
+             return_raw: bool = False, deterministic: bool = True,
+             query_group: int = 1):
         """Text cross-attends to reference image tokens (blip_stage1.py:67-92).
 
         return_raw=True -> last_hidden_state z_t [B, L, D] (stage-II input);
         otherwise the normalized 256-d predicted feature [B, embed_dim].
+
+        query_group>1: reference-image-major fusion — input_ids/attention_mask
+        are [G*Q, L] (Q queries per image, image-contiguous) against
+        ref_image_feats [G, M, D]; each layer's image K/V projections are
+        computed once per image instead of once per query (identical math).
         """
         hidden = self.text_encoder(
             input_ids, attention_mask, ref_image_feats,
-            deterministic=deterministic)
+            deterministic=deterministic, query_group=query_group)
         if return_raw:
             return hidden
         return l2_normalize(self.text_proj(hidden[:, 0]))

@@ -119,6 +119,13 @@ class MedLayer(nn.Module):
     cfg: TextEncoderConfig
     multimodal: bool
     dtype: jnp.dtype = jnp.float32
+    # reference-image-major fusion: x carries query_group queries per image
+    # ([G*Q, L, D] text vs [G, M, W] image features) and the cross-attention
+    # folds the Q queries into the row axis, so each layer's image K/V
+    # projections — the dominant FLOP term of the fusion forward — are
+    # computed once per IMAGE instead of once per query. Identical math:
+    # every query still attends over its own reference image's tokens.
+    query_group: int = 1
 
     @nn.compact
     def __call__(self, x, text_bias, image_kv, image_bias,
@@ -149,8 +156,19 @@ class MedLayer(nn.Module):
 
         x = self_attn(x, None, text_bias, deterministic=deterministic)
         if cross_attn is not None:
-            x = cross_attn(x, image_kv, image_bias,
-                           deterministic=deterministic)
+            if self.query_group > 1:
+                b, l, d = x.shape
+                g = b // self.query_group
+                # [G*Q, L, D] -> [G, Q*L, D] is a free reshape (contiguous);
+                # residual + post-LN inside the block are elementwise, so
+                # running them on the folded view is exact
+                xg = x.reshape(g, self.query_group * l, d)
+                xg = cross_attn(xg, image_kv, image_bias,
+                                deterministic=deterministic)
+                x = xg.reshape(b, l, d)
+            else:
+                x = cross_attn(x, image_kv, image_bias,
+                               deterministic=deterministic)
         x = ffn(x, deterministic=deterministic)
         return x, None
 
@@ -175,7 +193,7 @@ class TextEncoder(nn.Module):
                  image_mask=None, *, causal: bool = False,
                  deterministic: bool = True, decode_cache=None,
                  cache_index=None, precompute_image_kv: bool = False,
-                 mode: str | None = None):
+                 mode: str | None = None, query_group: int = 1):
         """``mode`` overrides the construction-time mode per call (the
         reference's BertModel takes mode at forward time, med.py:373-385);
         'text' skips the cross-attention blocks, leaving their parameters
@@ -215,7 +233,8 @@ class TextEncoder(nn.Module):
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
                          nn.broadcast, 0, nn.broadcast, nn.broadcast),
                 length=cfg.num_layers,
-            )(cfg=cfg, multimodal=multimodal, dtype=self.dtype, name="layers")
+            )(cfg=cfg, multimodal=multimodal, dtype=self.dtype,
+              query_group=query_group, name="layers")
 
         if precompute_image_kv:
             assert multimodal and image_embeds is not None
@@ -245,6 +264,11 @@ class TextEncoder(nn.Module):
             text_bias = text_bias + (1.0 - tri)[None, None] * -10000.0
         if multimodal:
             assert image_embeds is not None, "multimodal mode needs image_embeds"
+            if query_group > 1:
+                assert input_ids.shape[0] == \
+                    image_embeds.shape[0] * query_group, (
+                        "query_group fusion needs input_ids [G*Q, L] with "
+                        "image_embeds [G, M, W]")
             image_embeds = image_embeds.astype(self.dtype)
             if image_mask is None:
                 image_bias = None  # image tokens are never padded

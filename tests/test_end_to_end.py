@@ -468,3 +468,61 @@ def test_l_bucketed_scores_match_single_bucket(models, tokenizer):
     np.testing.assert_allclose(out_bkt.group_logits, out_one.group_logits,
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(out_bkt.order, out_one.order)
+
+
+def test_image_major_fusion_matches_query_major():
+    """predict_queries(image_major=True) — reference-image-major K/V
+    amortization with power-of-2 query chunks — must produce the same
+    features as the query-major path (identical math, different schedule)."""
+    import jax.numpy as jnp
+
+    from candidate_reranking_cir_tpu.config import (
+        RetrievalModelConfig,
+        TextEncoderConfig,
+        vit_config,
+    )
+    from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
+    from candidate_reranking_cir_tpu.models.tokenizer import (
+        WordPieceTokenizer,
+        build_test_vocab,
+    )
+    from candidate_reranking_cir_tpu.retrieval.validate_engine import (
+        make_stage1_fns,
+        predict_queries,
+    )
+
+    rng = np.random.default_rng(11)
+    cfg = RetrievalModelConfig(
+        vit=vit_config("base", 64),
+        text=TextEncoderConfig(num_layers=2, vocab_size=256,
+                               hidden_size=64, num_heads=4,
+                               intermediate_size=128),
+    )
+    # tiny vit to init, but fusion consumes raw features directly
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, hidden_size=64, num_layers=1,
+                                     num_heads=2))
+    model = RetrievalModel(cfg, dtype=jnp.float32)
+    tok = WordPieceTokenizer(build_test_vocab())
+
+    n_idx, n_q, M, W = 7, 23, 9, 64
+    index_feats = jnp.asarray(rng.normal(size=(n_idx, M, W)), jnp.float32)
+    index_names = [f"im{i}" for i in range(n_idx)]
+    # skewed sharing: image 0 gets many queries (exercises 8/4/2/1 chunks)
+    ref_rows = [0] * 11 + [1] * 5 + [2] * 3 + [3] * 2 + [4, 5]
+    ref_names = [index_names[i] for i in ref_rows]
+    caps = [f"q {'x ' * (i % 5)}{i}" for i in range(n_q)]
+
+    ids = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((2, 64, 64, 3)), ids, ids)
+    _, fuse = make_stage1_fns(model, params)
+
+    out_im = np.asarray(predict_queries(
+        fuse, tok, caps, ref_names, index_feats, index_names, 24,
+        q_batch=8, image_major=True))
+    out_qm = np.asarray(predict_queries(
+        fuse, tok, caps, ref_names, index_feats, index_names, 24,
+        q_batch=8, image_major=False))
+    np.testing.assert_allclose(out_im, out_qm, atol=2e-5)
