@@ -104,8 +104,10 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
     decomposed into power-of-2 chunks (5 queries -> 4 + 1), so there is
     never a padding query; the Q=1 leftovers run through the ordinary
     query-major path. Identical math to query-major (CIRR-val: ~1.8 queries
-    share each reference on average). Disabled automatically under a mesh
-    (the grouped gather layout is not mesh-sharded yet).
+    share each reference on average). Under a mesh, a Q-bucket runs
+    image-major only when the mesh divides its image count G = q_batch//Q
+    (rows are image-contiguous, so sharding the G axis and the G*Q row axis
+    cut at the same boundaries); other buckets fall back to query-major.
 
     mesh: optional jax Mesh — each fixed-size query batch is sharded over the
     data axis so fusion runs SPMD across the chips (q_batch must divide).
@@ -147,8 +149,12 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
         return fuse_fn(refs, ids, msk, query_group) if query_group > 1 \
             else fuse_fn(refs, ids, msk)
 
+    n_dev = mesh.devices.size if mesh is not None else 1
     singles = np.arange(n)
-    if image_major and mesh is None:
+    if image_major:
+        group_sizes = [q for q in (8, 4, 2)
+                       if q <= q_batch and (q_batch // q) % n_dev == 0]
+    if image_major and group_sizes:
         by_img: dict[int, list[int]] = {}
         for row, r in enumerate(ref_idx):
             by_img.setdefault(int(r), []).append(row)
@@ -157,9 +163,7 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
         for r, rows in by_img.items():
             rows.sort(key=lambda i: bucket_of[i])  # L-homogeneous chunks
             i, c = 0, len(rows)
-            for q in (8, 4, 2):
-                if q > q_batch:
-                    continue
+            for q in group_sizes:
                 while c >= q:
                     chunks.setdefault(q, []).append((r, rows[i:i + q]))
                     i += q

@@ -292,3 +292,43 @@ def test_fsdp_matches_replicated_and_shards_opt_state():
 
     assert max_shrink(state_fsdp.params) == 1.0 / n_dev
     assert max_shrink(state_fsdp.opt_state) == 1.0 / n_dev
+
+
+def test_predict_queries_image_major_sharded():
+    """Image-major fusion under an 8-device mesh: Q-buckets whose image
+    count divides the mesh run grouped (rows are image-contiguous, so the
+    G and G*Q shardings cut at the same boundaries); result must equal the
+    unmeshed query-major features."""
+    from candidate_reranking_cir_tpu.models.tokenizer import (
+        WordPieceTokenizer,
+        build_test_vocab,
+    )
+    from candidate_reranking_cir_tpu.retrieval.validate_engine import (
+        make_stage1_fns,
+        predict_queries,
+    )
+
+    rng = np.random.default_rng(5)
+    model = RetrievalModel(S1, dtype=jnp.float32)
+    tok = WordPieceTokenizer(build_test_vocab())
+    n_idx, M = 6, 5
+    index_feats = jnp.asarray(rng.normal(size=(n_idx, M, 16)), jnp.float32)
+    index_names = [f"im{i}" for i in range(n_idx)]
+    ref_rows = [0] * 9 + [1] * 4 + [2] * 2 + [3] * 2 + [4]
+    n_q = len(ref_rows)
+    ref_names = [index_names[i] for i in ref_rows]
+    caps = [f"q {i}" for i in range(n_q)]
+
+    ids = jnp.ones((2, 6), jnp.int32)
+    params = model.init(jax.random.key(0), jnp.zeros((2, 16, 16, 3)),
+                        ids, ids)
+    _, fuse = make_stage1_fns(model, params)
+    mesh = make_mesh()
+
+    out_sharded = np.asarray(predict_queries(
+        fuse, tok, caps, ref_names, index_feats, index_names, 6,
+        q_batch=16, mesh=mesh, image_major=True))
+    out_ref = np.asarray(predict_queries(
+        fuse, tok, caps, ref_names, index_feats, index_names, 6,
+        q_batch=16, image_major=False))
+    np.testing.assert_allclose(out_sharded, out_ref, atol=2e-5)
