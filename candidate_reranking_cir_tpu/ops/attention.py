@@ -152,7 +152,10 @@ def _try_fused_train(q, k, v, bias, dropout_rng, dropout_rate):
         seed_from_rng,
     )
 
-    if not eligible(lq, bias, m):
+    flat_batch = 1
+    for s in batch_shape:
+        flat_batch *= int(s)
+    if not eligible(lq, bias, m, batch=flat_batch):
         return None
     if bias is not None:
         bias = jnp.broadcast_to(

@@ -100,63 +100,70 @@ def _head_scores(q, k, bias, scale: float):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, b_ref, o_ref, *,
-                scale: float, num_heads: int, rate: float, has_bias: bool):
-    b = pl.program_id(0)
+                scale: float, num_heads: int, rate: float, has_bias: bool,
+                entries: int = 1):
+    pid = pl.program_id(0)
     seed = seed_ref[0]
-    bias = b_ref[0].astype(jnp.float32) if has_bias else None
-    for h in range(num_heads):
-        probs = _softmax_fp32(
-            _head_scores(q_ref[0, h], k_ref[0, h], bias, scale))
-        if rate > 0.0:
-            keep = _keep_mask(seed, b, h, probs.shape, rate)
-            probs = jnp.where(keep, probs * (1.0 / (1.0 - rate)), 0.0)
-        out = jax.lax.dot_general(
-            probs.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, h] = out.astype(o_ref.dtype)
+    for e in range(entries):
+        b = pid * entries + e  # absolute batch index keys the dropout mask
+        bias = b_ref[e].astype(jnp.float32) if has_bias else None
+        for h in range(num_heads):
+            probs = _softmax_fp32(
+                _head_scores(q_ref[e, h], k_ref[e, h], bias, scale))
+            if rate > 0.0:
+                keep = _keep_mask(seed, b, h, probs.shape, rate)
+                probs = jnp.where(keep, probs * (1.0 / (1.0 - rate)), 0.0)
+            out = jax.lax.dot_general(
+                probs.astype(v_ref.dtype), v_ref[e, h],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[e, h] = out.astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, b_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float,
-                num_heads: int, rate: float, has_bias: bool):
-    b = pl.program_id(0)
+                num_heads: int, rate: float, has_bias: bool,
+                entries: int = 1):
+    pid = pl.program_id(0)
     seed = seed_ref[0]
-    bias = b_ref[0].astype(jnp.float32) if has_bias else None
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
-    for h in range(num_heads):
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        g = g_ref[0, h].astype(jnp.float32)
-        probs = _softmax_fp32(_head_scores(q, k, bias, scale))
-        if rate > 0.0:
-            keep = _keep_mask(seed, b, h, probs.shape, rate)
-            dropped = jnp.where(keep, probs * inv, 0.0)
-        else:
-            keep = None
-            dropped = probs
-        # dV = dropped^T g   [M, D]
-        dv_ref[0, h] = jax.lax.dot_general(
-            dropped, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-        # d(dropped) = g V^T  [L, M]
-        d_dropped = jax.lax.dot_general(
-            g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if keep is not None:
-            d_probs = jnp.where(keep, d_dropped * inv, 0.0)
-        else:
-            d_probs = d_dropped
-        # softmax backward (fp32, exact)
-        d_scores = probs * (
-            d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True))
-        d_scores = d_scores * scale
-        dq_ref[0, h] = jax.lax.dot_general(
-            d_scores.astype(q.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-        dk_ref[0, h] = jax.lax.dot_general(
-            d_scores.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    for e in range(entries):
+        b = pid * entries + e
+        bias = b_ref[e].astype(jnp.float32) if has_bias else None
+        for h in range(num_heads):
+            q = q_ref[e, h]
+            k = k_ref[e, h]
+            v = v_ref[e, h]
+            g = g_ref[e, h].astype(jnp.float32)
+            probs = _softmax_fp32(_head_scores(q, k, bias, scale))
+            if rate > 0.0:
+                keep = _keep_mask(seed, b, h, probs.shape, rate)
+                dropped = jnp.where(keep, probs * inv, 0.0)
+            else:
+                keep = None
+                dropped = probs
+            # dV = dropped^T g   [M, D]
+            dv_ref[e, h] = jax.lax.dot_general(
+                dropped, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            # d(dropped) = g V^T  [L, M]
+            d_dropped = jax.lax.dot_general(
+                g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if keep is not None:
+                d_probs = jnp.where(keep, d_dropped * inv, 0.0)
+            else:
+                d_probs = d_dropped
+            # softmax backward (fp32, exact)
+            d_scores = probs * (
+                d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True))
+            d_scores = d_scores * scale
+            dq_ref[e, h] = jax.lax.dot_general(
+                d_scores.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+            dk_ref[e, h] = jax.lax.dot_general(
+                d_scores.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
 MAX_LQ = 1024  # single-query-block kernel: larger folds fall back to XLA
@@ -167,9 +174,31 @@ MIN_KV = 256   # below this key length XLA wins: the fp32 score tensor is
                # (measured: routing the L<=48 pair-grid SELF-attention here
                # cost ~30 ms/step at B=16; cross-attention at M=577 wins)
 MIN_ROWS = 128  # minimum query rows per program: at stage-I MED shapes
-                # (B=512 programs x ~32 rows x M=577) the kernel lost 8.6%
-                # vs XLA — per-program work too small; the stage-II pair
-                # fold (B=16 programs x 384 rows x 577) wins 16%
+                # (B=512 programs x ~32 rows x M=577) the one-entry kernel
+                # lost 8.6% vs XLA — per-program work too small; the
+                # stage-II pair fold (B=16 programs x 384 rows x 577) wins
+                # 16%. Short-row batches now run with an ENTRY BLOCK: E
+                # batch entries per program (E*lq >= MIN_ROWS), which
+                # amortizes the program overhead while keeping the in-kernel
+                # dropout mask keyed by the absolute batch index.
+MAX_ENTRIES_FWD = 8  # VMEM bound (double-buffered blocks): fwd holds
+MAX_ENTRIES_BWD = 4  # E*(q,k,v,o); bwd holds E*(q,k,v,g,dq,dk,dv) — at
+                     # M=577/H=12/D=64 the compiler measured 114.5 MB of
+                     # scoped stack at E=8 vs the 96 MB cap, so bwd caps at
+                     # 4. The dropout mask is keyed by the ABSOLUTE batch
+                     # index, so fwd/bwd may block differently and still
+                     # regenerate identical masks.
+
+
+def _pick_entries(b: int, lq: int, cap: int = MAX_ENTRIES_BWD) -> int:
+    """Largest E <= cap with b % E == 0 and E*lq >= MIN_ROWS; 1 when lq
+    already meets MIN_ROWS (or nothing qualifies)."""
+    if lq >= MIN_ROWS:
+        return 1
+    for e in (8, 4, 2):
+        if e <= cap and b % e == 0 and e * lq >= MIN_ROWS:
+            return e
+    return 1
 
 
 def _prep(q, k, v, bias):
@@ -190,17 +219,17 @@ def _prep(q, k, v, bias):
     return qt, kt, vt, bias3
 
 
-def _specs(b, h, lq, m, d, has_bias):
+def _specs(b, h, lq, m, d, has_bias, entries=1):
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    q_spec = pl.BlockSpec((1, h, lq, d), lambda i: (i, 0, 0, 0),
+    q_spec = pl.BlockSpec((entries, h, lq, d), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, h, m, d), lambda i: (i, 0, 0, 0),
+    kv_spec = pl.BlockSpec((entries, h, m, d), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     if has_bias:
-        b_spec = pl.BlockSpec((1, lq, m), lambda i: (i, 0, 0),
+        b_spec = pl.BlockSpec((entries, lq, m), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
-        b_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+        b_spec = pl.BlockSpec((entries, 8, 128), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     return seed_spec, q_spec, kv_spec, b_spec
 
@@ -223,16 +252,18 @@ def _fwd_impl(q, k, v, bias, seed, rate: float, interpret: bool | None):
     m = k.shape[1]
     scale = d ** -0.5
     has_bias = bias is not None
+    entries = _pick_entries(b, lq, MAX_ENTRIES_FWD)
     qt, kt, vt, bias3 = _prep(q, k, v, bias)
-    seed_spec, q_spec, kv_spec, b_spec = _specs(b, h, lq, m, d, has_bias)
+    seed_spec, q_spec, kv_spec, b_spec = _specs(b, h, lq, m, d, has_bias,
+                                                entries)
     cost = pl.CostEstimate(
         flops=2 * b * h * lq * m * d * 2,
         bytes_accessed=(qt.size + kt.size + vt.size) * q.dtype.itemsize,
         transcendentals=b * h * lq * m)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, num_heads=h,
-                          rate=rate, has_bias=has_bias),
-        grid=(b,),
+                          rate=rate, has_bias=has_bias, entries=entries),
+        grid=(b // entries,),
         in_specs=[seed_spec, q_spec, kv_spec, kv_spec, b_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
@@ -250,17 +281,19 @@ def _bwd_impl(q, k, v, bias, seed, g, rate: float, interpret: bool | None):
     m = k.shape[1]
     scale = d ** -0.5
     has_bias = bias is not None
+    entries = _pick_entries(b, lq)
     qt, kt, vt, bias3 = _prep(q, k, v, bias)
     gt = g.transpose(0, 2, 1, 3)
-    seed_spec, q_spec, kv_spec, b_spec = _specs(b, h, lq, m, d, has_bias)
+    seed_spec, q_spec, kv_spec, b_spec = _specs(b, h, lq, m, d, has_bias,
+                                                entries)
     cost = pl.CostEstimate(
         flops=5 * 2 * b * h * lq * m * d,
         bytes_accessed=2 * (qt.size + kt.size + vt.size) * q.dtype.itemsize,
         transcendentals=b * h * lq * m)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, num_heads=h,
-                          rate=rate, has_bias=has_bias),
-        grid=(b,),
+                          rate=rate, has_bias=has_bias, entries=entries),
+        grid=(b // entries,),
         in_specs=[seed_spec, q_spec, kv_spec, kv_spec, b_spec, q_spec],
         out_specs=(q_spec, kv_spec, kv_spec),
         out_shape=(jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
@@ -284,6 +317,8 @@ def fused_attention_train(q, k, v, bias, seed, rate: float):
     additive [B, 1, Lq, M] / [B, Lq, M]; seed int32 [1] array; rate static.
     The dropout mask is a pure function of (seed, batch, head, row, col) —
     forward and backward regenerate it identically, nothing hits HBM.
+    Short-row batches run entry-blocked (see _pick_entries) with identical
+    numerics: the mask stays keyed by the absolute batch index.
     """
     return _fwd_impl(q, k, v, bias, seed, rate, None)
 
@@ -301,10 +336,14 @@ def _vjp_bwd(rate, res, g):
 fused_attention_train.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def eligible(lq: int, bias, kv_len: int = MIN_KV) -> bool:
+def eligible(lq: int, bias, kv_len: int = MIN_KV,
+             batch: int | None = None) -> bool:
     """Single-block kernel constraint, head-independent bias, large-M and
-    enough per-program rows only (see MIN_KV / MIN_ROWS rationale)."""
-    if lq > MAX_LQ or lq < MIN_ROWS or kv_len < MIN_KV:
+    enough per-PROGRAM rows (directly, or via an entry block when the
+    flattened batch size is given — see MIN_KV / MIN_ROWS rationale)."""
+    if lq > MAX_LQ or kv_len < MIN_KV:
+        return False
+    if lq < MIN_ROWS and (batch is None or _pick_entries(batch, lq) == 1):
         return False
     if bias is not None and bias.ndim >= 3 and bias.shape[-3] not in (1,):
         return False

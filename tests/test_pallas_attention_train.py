@@ -278,3 +278,63 @@ def test_bf16_path():
     out = fused_attention_train(q, k, v, None, SEED, 0.1)
     assert out.dtype == jnp.bfloat16
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_entry_blocked_matches_xla_with_replicated_mask():
+    """Short-row batches run entry-blocked (E entries per program); the
+    dropout mask stays keyed by the ABSOLUTE batch index, so output and
+    gradients are identical to the one-entry kernel / XLA replica."""
+    from candidate_reranking_cir_tpu.ops.pallas_attention_train import (
+        _pick_entries,
+    )
+
+    b, lq, m, h, d = 8, 16, 33, 2, 32
+    # fwd blocks at E=8 (8 * 16 = 128 rows/program); bwd holds 7 E-sized
+    # blocks so its cap is 4 and it falls back to E=1 here — the mask is
+    # keyed by the absolute batch index, so mixed blocking stays exact
+    from candidate_reranking_cir_tpu.ops.pallas_attention_train import (
+        MAX_ENTRIES_FWD,
+    )
+    assert _pick_entries(b, lq, MAX_ENTRIES_FWD) == 8
+    assert _pick_entries(b, lq) == 1
+    rate = 0.2
+    q = _rand(0, b, lq, h, d)
+    k = _rand(1, b, m, h, d)
+    v = _rand(2, b, m, h, d)
+    cot = _rand(3, b, lq, h, d)
+    keep = _expected_keep(SEED[0], b, h, lq, m, rate)
+
+    out = fused_attention_train(q, k, v, None, SEED, rate)
+    ref = _xla_attention(q, k, v, None, keep=keep, rate=rate)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def fused_loss(q, k, v):
+        return jnp.vdot(fused_attention_train(q, k, v, None, SEED, rate), cot)
+
+    def xla_loss(q, k, v):
+        return jnp.vdot(_xla_attention(q, k, v, None, keep=keep, rate=rate),
+                        cot)
+
+    gf = jax.grad(fused_loss, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(xla_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(a, b_, atol=3e-5)
+
+
+def test_entry_blocked_with_bias():
+    b, lq, m, h, d = 4, 32, 40, 2, 32
+    from candidate_reranking_cir_tpu.ops.pallas_attention_train import (
+        _pick_entries,
+    )
+    assert _pick_entries(b, lq) == 4
+    rate = 0.1
+    q = _rand(0, b, lq, h, d)
+    k = _rand(1, b, m, h, d)
+    v = _rand(2, b, m, h, d)
+    mask = (jnp.arange(m)[None] < jnp.asarray([[30], [m], [17], [25]])
+            ).astype(jnp.int32)
+    bias = jnp.broadcast_to(make_additive_mask(mask), (b, 1, lq, m))
+    keep = _expected_keep(SEED[0], b, h, lq, m, rate)
+    out = fused_attention_train(q, k, v, bias, SEED, rate)
+    ref = _xla_attention(q, k, v, bias, keep=keep, rate=rate)
+    np.testing.assert_allclose(out, ref, atol=2e-5)

@@ -81,7 +81,7 @@ def main():
     run(True, 32, 512, rtt, attn_dropout=0.0, hidden_dropout=0.0)
 
 
-if __name__ == "__main__" and "--trace" not in sys.argv:
+if __name__ == "__main__" and "--trace" not in sys.argv and "--hlo" not in sys.argv:
     main()
 
 
@@ -144,5 +144,50 @@ def trace(remat=True, L=32, B=512):
             print(f"{dur/1e3:9.2f} ms  {name}", flush=True)
 
 
-if __name__ == "__main__" and "--trace" in sys.argv:
+if __name__ == "__main__" and "--trace" in sys.argv and "--hlo" not in sys.argv:
     trace()
+
+
+def dump_hlo(remat=True, L=32, B=512):
+    cfg = RetrievalModelConfig(
+        vit=vit_config("base", 384, remat=True, fused_attention=True),
+        text=TextEncoderConfig(remat=remat, fused_attention=True))
+    model = RetrievalModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    params = rand_params(
+        jax.eval_shape(lambda: model.init(
+            jax.random.key(0), jnp.zeros((2, 384, 384, 3)),
+            jnp.ones((2, L), jnp.int32), jnp.ones((2, L), jnp.int32))),
+        jax.random.key(1))
+    ref = jnp.zeros((B, 577, 768), jnp.bfloat16)
+    ids = jnp.ones((B, L), jnp.int32)
+    msk = jnp.ones((B, L), jnp.int32)
+    tgt = jnp.zeros((B, 256), jnp.float32)
+
+    def loss_fn(p, ref, ids, msk, tgt, key):
+        pred = model.apply(p, ref, ids, msk, deterministic=False,
+                           rngs={"dropout": key},
+                           method=RetrievalModel.fuse)
+        logits = model.apply(p, pred, tgt,
+                             method=RetrievalModel.contrastive_logits)
+        lbl = jnp.arange(B)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        return -jnp.mean(jnp.take_along_axis(lp, lbl[:, None], 1))
+
+    def step(p, ref, ids, msk, tgt, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, ref, ids, msk, tgt, key)
+        return loss, jax.tree.map(lambda g: jnp.mean(jnp.abs(g)), grads)
+
+    key = jax.random.key(3, impl="rbg")
+    txt = jax.jit(step).lower(params, ref, ids, msk, tgt, key).compile().as_text()
+    with open("/tmp/med_hlo.txt", "w") as f:
+        f.write(txt)
+    import re
+    for ln in txt.splitlines():
+        s = ln.strip()
+        if re.match(r"%?copy[.\w]*\s*=", s):
+            print(s[:220], flush=True)
+
+
+if __name__ == "__main__" and "--hlo" in sys.argv:
+    dump_hlo()
