@@ -178,22 +178,37 @@ class MultiHeadAttention(nn.Module):
         # unfolded kernel forces onto the q/k/v projections (measured: the
         # einsum projection lowers to an N=64 conv at 45% MFU vs 58%+ for
         # the full-width matmul; tools/t_vit_hlo.py, t_folded_attn.py).
-        folded = (self.fused and not kv_only and cache is None
-                  and precomputed_kv is None
-                  and not self.capture_attention
-                  and not self.perturb_attention
-                  and (deterministic or self.dropout_rate == 0.0)
-                  and (bias is None
-                       or (bias.ndim >= 3 and bias.shape[-3] == 1))
-                  # pays off for long query rows (ViT's 577-token
-                  # self-attention: 852 -> 978 img/s); at short text widths
-                  # (<=64-token MED rows) the per-head lane slicing costs
-                  # more than the relayout it avoids (measured -5% on the
-                  # stage-I fusion phase)
-                  and x.shape[-2] >= 128)
+        folded = False
+        train_drop = not deterministic and self.dropout_rate > 0.0
+        if (self.fused and not kv_only and cache is None
+                and precomputed_kv is None
+                and not self.capture_attention
+                and not self.perturb_attention
+                and (bias is None
+                     or (bias.ndim >= 3 and bias.shape[-3] == 1))):
+            if train_drop:
+                # train path: in-kernel-dropout folded kernel where the
+                # shapes qualify (kills the per-layer HBM mask + the
+                # [B,L,H,D] relayout of the projected cross-attn K/V)
+                from candidate_reranking_cir_tpu.ops.pallas_attention_train \
+                    import eligible
+
+                flat_batch = 1
+                for s in x.shape[:-2]:
+                    flat_batch *= int(s)
+                folded = eligible(x.shape[-2], bias, y.shape[-2],
+                                  batch=flat_batch)
+            else:
+                # eval path: pays off for long query rows (ViT's 577-token
+                # self-attention: 852 -> 978 img/s); at short text widths
+                # (<=64-token MED rows) the per-head lane slicing costs
+                # more than the relayout it avoids (measured -5% on the
+                # stage-I fusion phase)
+                folded = x.shape[-2] >= 128
         if folded:
             from candidate_reranking_cir_tpu.ops.attention import (
                 dot_product_attention_folded,
+                dot_product_attention_folded_train,
             )
 
             qf = HeadProjection(self.num_heads, self.head_dim, self.dtype,
@@ -202,8 +217,14 @@ class MultiHeadAttention(nn.Module):
                                 name="key")(y, flat=True)
             vf = HeadProjection(self.num_heads, self.head_dim, self.dtype,
                                 name="value")(y, flat=True)
-            ctx = dot_product_attention_folded(qf, kf, vf, bias,
-                                               num_heads=self.num_heads)
+            if train_drop:
+                ctx = dot_product_attention_folded_train(
+                    qf, kf, vf, bias, num_heads=self.num_heads,
+                    dropout_rng=self.make_rng("dropout"),
+                    dropout_rate=self.dropout_rate)
+            else:
+                ctx = dot_product_attention_folded(qf, kf, vf, bias,
+                                                   num_heads=self.num_heads)
             return HeadOutProjection(self.out_features, self.dtype,
                                      num_heads=self.num_heads,
                                      head_dim=self.head_dim,

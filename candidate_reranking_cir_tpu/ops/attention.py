@@ -106,6 +106,30 @@ def dot_product_attention_folded(q, k, v, bias=None, *, num_heads: int):
     return out.reshape(*batch_shape, lq, hd)
 
 
+def dot_product_attention_folded_train(q, k, v, bias=None, *,
+                                       num_heads: int, dropout_rng,
+                                       dropout_rate: float):
+    """Folded twin of the in-kernel-dropout train path: q [..., Lq, H*D];
+    k, v [..., M, H*D]. Caller must pre-check
+    pallas_attention_train.eligible(); masks are keyed by the absolute
+    batch index, identical to the unfolded kernel's."""
+    from candidate_reranking_cir_tpu.ops.pallas_attention_train import (
+        fused_attention_train_folded,
+        seed_from_rng,
+    )
+
+    batch_shape = q.shape[:-2]
+    lq, hd = q.shape[-2:]
+    m = k.shape[-2]
+    if bias is not None:
+        bias = jnp.broadcast_to(
+            bias, (*batch_shape, 1, lq, m)).reshape(-1, 1, lq, m)
+    out = fused_attention_train_folded(
+        q.reshape(-1, lq, hd), k.reshape(-1, m, hd), v.reshape(-1, m, hd),
+        bias, seed_from_rng(dropout_rng), dropout_rate, num_heads=num_heads)
+    return out.reshape(*batch_shape, lq, hd)
+
+
 def _try_fused(q, k, v, bias):
     """Flatten leading batch dims and dispatch to the Pallas kernel.
     Returns None when the shape/bias layout is not kernel-compatible."""

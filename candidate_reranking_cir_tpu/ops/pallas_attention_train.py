@@ -354,3 +354,194 @@ def seed_from_rng(rng) -> jax.Array:
     """Derive the kernel's int32 seed from a JAX PRNG key (one tiny draw)."""
     return jax.random.randint(rng, (1,), jnp.iinfo(jnp.int32).min,
                               jnp.iinfo(jnp.int32).max, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Head-FOLDED variants: q/k/v in matmul-native [B, L, H*D] layout, heads
+# sliced on the lane dim inside the kernel (same rationale as the eval
+# kernel's folded form, ops/pallas_attention.py: the [B, L, H, D] layout the
+# unfolded kernel constrains its operands to forces 227 MB/layer relayout
+# copies of the projected cross-attention K/V in the stage-I MED train step,
+# and pushes the projections into the N=64 convolution form). The dropout
+# mask is the same function of (seed, absolute batch, head, row, col), so
+# folded and unfolded kernels are numerically interchangeable.
+
+
+def _fwd_kernel_folded(seed_ref, q_ref, k_ref, v_ref, b_ref, o_ref, *,
+                       scale: float, num_heads: int, head_dim: int,
+                       rate: float, has_bias: bool, entries: int):
+    pid = pl.program_id(0)
+    seed = seed_ref[0]
+    for e in range(entries):
+        b = pid * entries + e
+        bias = b_ref[e].astype(jnp.float32) if has_bias else None
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            probs = _softmax_fp32(
+                _head_scores(q_ref[e, :, sl], k_ref[e, :, sl], bias, scale))
+            if rate > 0.0:
+                keep = _keep_mask(seed, b, h, probs.shape, rate)
+                probs = jnp.where(keep, probs * (1.0 / (1.0 - rate)), 0.0)
+            out = jax.lax.dot_general(
+                probs.astype(v_ref.dtype), v_ref[e, :, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[e, :, sl] = out.astype(o_ref.dtype)
+
+
+def _bwd_kernel_folded(seed_ref, q_ref, k_ref, v_ref, b_ref, g_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale: float,
+                       num_heads: int, head_dim: int, rate: float,
+                       has_bias: bool, entries: int):
+    pid = pl.program_id(0)
+    seed = seed_ref[0]
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    for e in range(entries):
+        b = pid * entries + e
+        bias = b_ref[e].astype(jnp.float32) if has_bias else None
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            q = q_ref[e, :, sl]
+            k = k_ref[e, :, sl]
+            v = v_ref[e, :, sl]
+            g = g_ref[e, :, sl].astype(jnp.float32)
+            probs = _softmax_fp32(_head_scores(q, k, bias, scale))
+            if rate > 0.0:
+                keep = _keep_mask(seed, b, h, probs.shape, rate)
+                dropped = jnp.where(keep, probs * inv, 0.0)
+            else:
+                keep = None
+                dropped = probs
+            dv_ref[e, :, sl] = jax.lax.dot_general(
+                dropped, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            d_dropped = jax.lax.dot_general(
+                g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if keep is not None:
+                d_probs = jnp.where(keep, d_dropped * inv, 0.0)
+            else:
+                d_probs = d_dropped
+            d_scores = probs * (
+                d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True))
+            d_scores = d_scores * scale
+            dq_ref[e, :, sl] = jax.lax.dot_general(
+                d_scores.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+            dk_ref[e, :, sl] = jax.lax.dot_general(
+                d_scores.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _bias3_folded(bias, b, lq, m):
+    if bias is not None:
+        return jnp.broadcast_to(bias[:, 0] if bias.ndim == 4 else bias,
+                                (b, lq, m)).astype(jnp.float32)
+    return jnp.zeros((b, 8, 128), jnp.float32)  # placeholder operand
+
+
+def _specs_folded(h, lq, m, hd, has_bias, entries):
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    q_spec = pl.BlockSpec((entries, lq, hd), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((entries, m, hd), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    if has_bias:
+        b_spec = pl.BlockSpec((entries, lq, m), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        b_spec = pl.BlockSpec((entries, 8, 128), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return seed_spec, q_spec, kv_spec, b_spec
+
+
+def _fwd_impl_folded(q, k, v, bias, seed, rate: float, num_heads: int,
+                     interpret: bool | None):
+    if interpret is None:
+        interpret = _interpret_default()
+    b, lq, hd = q.shape
+    m = k.shape[1]
+    d = hd // num_heads
+    scale = d ** -0.5
+    has_bias = bias is not None
+    entries = _pick_entries(b, lq, MAX_ENTRIES_FWD)
+    bias3 = _bias3_folded(bias, b, lq, m)
+    seed_spec, q_spec, kv_spec, b_spec = _specs_folded(
+        num_heads, lq, m, hd, has_bias, entries)
+    cost = pl.CostEstimate(
+        flops=2 * b * num_heads * lq * m * d * 2,
+        bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+        transcendentals=b * num_heads * lq * m)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_folded, scale=scale,
+                          num_heads=num_heads, head_dim=d, rate=rate,
+                          has_bias=has_bias, entries=entries),
+        grid=(b // entries,),
+        in_specs=[seed_spec, q_spec, kv_spec, kv_spec, b_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
+        cost_estimate=cost,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(seed, q, k, v, bias3)
+
+
+def _bwd_impl_folded(q, k, v, bias, seed, g, rate: float, num_heads: int,
+                     interpret: bool | None):
+    if interpret is None:
+        interpret = _interpret_default()
+    b, lq, hd = q.shape
+    m = k.shape[1]
+    d = hd // num_heads
+    scale = d ** -0.5
+    has_bias = bias is not None
+    entries = _pick_entries(b, lq)
+    bias3 = _bias3_folded(bias, b, lq, m)
+    seed_spec, q_spec, kv_spec, b_spec = _specs_folded(
+        num_heads, lq, m, hd, has_bias, entries)
+    cost = pl.CostEstimate(
+        flops=5 * 2 * b * num_heads * lq * m * d,
+        bytes_accessed=2 * (q.size + k.size + v.size) * q.dtype.itemsize,
+        transcendentals=b * num_heads * lq * m)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_folded, scale=scale,
+                          num_heads=num_heads, head_dim=d, rate=rate,
+                          has_bias=has_bias, entries=entries),
+        grid=(b // entries,),
+        in_specs=[seed_spec, q_spec, kv_spec, kv_spec, b_spec, q_spec],
+        out_specs=(q_spec, kv_spec, kv_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b, m, hd), k.dtype),
+                   jax.ShapeDtypeStruct((b, m, hd), v.dtype)),
+        cost_estimate=cost,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(seed, q, k, v, bias3, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _train_folded_vjp(q, k, v, bias, seed, rate, num_heads):
+    return _fwd_impl_folded(q, k, v, bias, seed, rate, num_heads, None)
+
+
+def _folded_vjp_fwd(q, k, v, bias, seed, rate, num_heads):
+    return (_fwd_impl_folded(q, k, v, bias, seed, rate, num_heads, None),
+            (q, k, v, bias, seed))
+
+
+def _folded_vjp_bwd(rate, num_heads, res, g):
+    q, k, v, bias, seed = res
+    dq, dk, dv = _bwd_impl_folded(q, k, v, bias, seed, g, rate, num_heads,
+                                  None)
+    return dq, dk, dv, None, None
+
+
+_train_folded_vjp.defvjp(_folded_vjp_fwd, _folded_vjp_bwd)
+
+
+def fused_attention_train_folded(q, k, v, bias, seed, rate: float, *,
+                                 num_heads: int):
+    """Head-folded twin of fused_attention_train: q [B, Lq, H*D];
+    k, v [B, M, H*D]; same in-kernel dropout contract (mask keyed by the
+    absolute batch index — interchangeable with the unfolded kernel)."""
+    return _train_folded_vjp(q, k, v, bias, seed, rate, num_heads)

@@ -338,3 +338,65 @@ def test_entry_blocked_with_bias():
     out = fused_attention_train(q, k, v, bias, SEED, rate)
     ref = _xla_attention(q, k, v, bias, keep=keep, rate=rate)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_folded_train_matches_unfolded_and_xla():
+    """Folded train kernel ([B, L, H*D] layout) must match the unfolded
+    kernel bitwise-in-mask (same absolute-batch-index keying) and the XLA
+    replicated-mask replica, for outputs and gradients."""
+    from candidate_reranking_cir_tpu.ops.pallas_attention_train import (
+        fused_attention_train_folded,
+    )
+
+    b, lq, m, h, d = 4, 32, 37, 2, 32
+    rate = 0.15
+    q = _rand(0, b, lq, h, d)
+    k = _rand(1, b, m, h, d)
+    v = _rand(2, b, m, h, d)
+    cot = _rand(3, b, lq, h, d)
+    keep = _expected_keep(SEED[0], b, h, lq, m, rate)
+
+    qf = q.reshape(b, lq, h * d)
+    kf = k.reshape(b, m, h * d)
+    vf = v.reshape(b, m, h * d)
+    out_f = fused_attention_train_folded(qf, kf, vf, None, SEED, rate,
+                                         num_heads=h)
+    out_u = fused_attention_train(q, k, v, None, SEED, rate)
+    np.testing.assert_allclose(out_f, out_u.reshape(b, lq, h * d), atol=2e-5)
+    ref = _xla_attention(q, k, v, None, keep=keep, rate=rate)
+    np.testing.assert_allclose(out_f, ref.reshape(b, lq, h * d), atol=2e-5)
+
+    def fused_loss(qf, kf, vf):
+        out = fused_attention_train_folded(qf, kf, vf, None, SEED, rate,
+                                           num_heads=h)
+        return jnp.vdot(out, cot.reshape(b, lq, h * d))
+
+    def xla_loss(q, k, v):
+        return jnp.vdot(_xla_attention(q, k, v, None, keep=keep, rate=rate),
+                        cot)
+
+    gf = jax.grad(fused_loss, argnums=(0, 1, 2))(qf, kf, vf)
+    gx = jax.grad(xla_loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(gf[0], gx[0].reshape(b, lq, h * d), atol=3e-5)
+    np.testing.assert_allclose(gf[1], gx[1].reshape(b, m, h * d), atol=3e-5)
+    np.testing.assert_allclose(gf[2], gx[2].reshape(b, m, h * d), atol=3e-5)
+
+
+def test_folded_train_with_bias():
+    from candidate_reranking_cir_tpu.ops.pallas_attention_train import (
+        fused_attention_train_folded,
+    )
+
+    b, lq, m, h, d = 2, 64, 29, 2, 32
+    rate = 0.1
+    q = _rand(0, b, lq, h, d)
+    k = _rand(1, b, m, h, d)
+    v = _rand(2, b, m, h, d)
+    mask = (jnp.arange(m)[None] < jnp.asarray([[20], [m]])).astype(jnp.int32)
+    bias = jnp.broadcast_to(make_additive_mask(mask), (b, 1, lq, m))
+    keep = _expected_keep(SEED[0], b, h, lq, m, rate)
+    out = fused_attention_train_folded(
+        q.reshape(b, lq, h * d), k.reshape(b, m, h * d),
+        v.reshape(b, m, h * d), bias, SEED, rate, num_heads=h)
+    ref = _xla_attention(q, k, v, bias, keep=keep, rate=rate)
+    np.testing.assert_allclose(out, ref.reshape(b, lq, h * d), atol=2e-5)
