@@ -49,6 +49,9 @@ def main(argv=None):
     parser.add_argument("--k", type=int, default=50)
     parser.add_argument("--topk-out", type=str, default="")
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--query-major-fusion", action="store_true",
+                        help="disable the reference-image-major fusion "
+                             "scheduler (identical math)")
     args = parser.parse_args(argv)
     assert args.dataset.lower() == "cirr"
 
@@ -74,7 +77,8 @@ def main(argv=None):
         groups.append(s["group_members"])
 
     pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
-                           args.text_len, args.batch_size, mesh=mesh)
+                           args.text_len, args.batch_size, mesh=mesh,
+                           image_major=not args.query_major_fusion)
     # device-side truncated ranking (see validate_engine.ranked_slices): the
     # submission consumes top-50 + the top-k artifact, never the full order
     pos = {name: i for i, name in enumerate(index_names)}

@@ -46,6 +46,10 @@ def main(argv=None):
     parser.add_argument("--topk-out", type=str, default="",
                         help="output path for the top-k file (.npz or .pt)")
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--query-major-fusion", action="store_true",
+                        help="disable the reference-image-major fusion "
+                             "scheduler (identical math; for debugging / "
+                             "A-B timing)")
     args = parser.parse_args(argv)
 
     tokenizer = get_tokenizer(args)  # cheap fail-fast before ckpt IO
@@ -65,7 +69,8 @@ def main(argv=None):
         result, payload = evaluate_cirr_stage1(
             model, params, classic, relative, tokenizer,
             text_len=args.text_len, batch_size=args.batch_size,
-            save_topk_k=k, mesh=mesh)
+            save_topk_k=k, mesh=mesh,
+            image_major=not args.query_major_fusion)
         print_metrics(result.metrics)
         if payload is not None:
             out = args.topk_out or f"cirr_top_{args.k}_{split}.npz"
@@ -87,7 +92,8 @@ def main(argv=None):
             result, payload = evaluate_fiq_stage1(
                 model, params, classic, relative, tokenizer,
                 text_len=args.text_len, batch_size=args.batch_size,
-                save_topk_k=k, dress_types=[dress], mesh=mesh)
+                save_topk_k=k, dress_types=[dress], mesh=mesh,
+                image_major=not args.query_major_fusion)
             print(f"\n[{dress}]")
             print_metrics(result.metrics)
             r10s.append(result.metrics["recall_at10"])

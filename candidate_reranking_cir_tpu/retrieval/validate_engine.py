@@ -320,7 +320,8 @@ def ranked_slices(pred, pooled_index, width: int,
 
 def evaluate_cirr_stage1(model, params, dataset_classic, dataset_relative,
                          tokenizer, *, text_len: int, batch_size: int = 32,
-                         save_topk_k: int | None = None, mesh=None) -> tuple:
+                         save_topk_k: int | None = None, mesh=None,
+                         image_major: bool = True) -> tuple:
     embed, fuse = make_stage1_fns(model, params)
     raw, pooled, index_names = build_index(dataset_classic, embed,
                                            batch_size, pooled=True, mesh=mesh)
@@ -334,7 +335,8 @@ def evaluate_cirr_stage1(model, params, dataset_classic, dataset_relative,
         groups.append(s["group_members"])
 
     pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
-                           text_len, batch_size, mesh=mesh)
+                           text_len, batch_size, mesh=mesh,
+                           image_major=image_major)
     # device-side truncated ranking + exact entity ranks: metrics, subset
     # metrics and the top-k artifact only consume the first ~max(500, k)
     # columns, so the full [N_q, N_idx] order matrix never leaves the device
@@ -362,7 +364,7 @@ def evaluate_fiq_stage1(model, params, dataset_classic, dataset_relative,
                         tokenizer, *, text_len: int, batch_size: int = 32,
                         save_topk_k: int | None = None,
                         dress_types: list[str] | None = None,
-                        mesh=None) -> tuple:
+                        mesh=None, image_major: bool = True) -> tuple:
     embed, fuse = make_stage1_fns(model, params)
     raw, pooled, index_names = build_index(dataset_classic, embed,
                                            batch_size, pooled=True, mesh=mesh)
@@ -376,7 +378,8 @@ def evaluate_fiq_stage1(model, params, dataset_classic, dataset_relative,
     captions = compose_fiq_eval(captions_pairs)
 
     pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
-                           text_len, batch_size, mesh=mesh)
+                           text_len, batch_size, mesh=mesh,
+                           image_major=image_major)
     pos = {name: i for i, name in enumerate(index_names)}
     ent = np.asarray([[pos[t]] for t in targets], np.int32)
     width = max(501, (save_topk_k or 0) + 1)
