@@ -526,3 +526,56 @@ def test_image_major_fusion_matches_query_major():
         fuse, tok, caps, ref_names, index_feats, index_names, 24,
         q_batch=8, image_major=False))
     np.testing.assert_allclose(out_im, out_qm, atol=2e-5)
+
+
+def test_image_major_fusion_with_fused_attention():
+    """image_major + fused_attention=True on the text encoder: the grouped
+    cross-attention rows (Q*L) can cross the folded-kernel threshold — the
+    interpret-mode kernel must still match the query-major XLA path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from candidate_reranking_cir_tpu.config import (
+        RetrievalModelConfig,
+        TextEncoderConfig,
+        vit_config,
+    )
+    from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
+    from candidate_reranking_cir_tpu.models.tokenizer import (
+        WordPieceTokenizer,
+        build_test_vocab,
+    )
+    from candidate_reranking_cir_tpu.retrieval.validate_engine import (
+        make_stage1_fns,
+        predict_queries,
+    )
+
+    rng = np.random.default_rng(13)
+    text = TextEncoderConfig(num_layers=2, vocab_size=256, hidden_size=64,
+                             num_heads=2, intermediate_size=128,
+                             encoder_width=64)
+    vit = dataclasses.replace(vit_config("base", 64), hidden_size=64,
+                              num_layers=1, num_heads=2)
+    tok = WordPieceTokenizer(build_test_vocab())
+
+    n_idx, n_q, M = 4, 18, 300  # M >= MIN_KV=256 so the kernels engage
+    index_feats = jnp.asarray(rng.normal(size=(n_idx, M, 64)), jnp.float32)
+    index_names = [f"im{i}" for i in range(n_idx)]
+    ref_rows = [0] * 9 + [1] * 5 + [2] * 3 + [3]
+    ref_names = [index_names[i] for i in ref_rows]
+    caps = [f"q {i}" for i in range(n_q)]
+    ids = jnp.ones((2, 8), jnp.int32)
+
+    outs = {}
+    for fused in (False, True):
+        cfg = RetrievalModelConfig(
+            vit=vit, text=dataclasses.replace(text, fused_attention=fused))
+        model = RetrievalModel(cfg, dtype=jnp.float32)
+        params = model.init(jax.random.key(0), jnp.zeros((2, 64, 64, 3)),
+                            ids, ids)
+        _, fuse = make_stage1_fns(model, params)
+        outs[fused] = np.asarray(predict_queries(
+            fuse, tok, caps, ref_names, index_feats, index_names, 24,
+            q_batch=8, image_major=fused))  # fused: image-major; plain: qm
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-5)

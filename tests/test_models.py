@@ -182,3 +182,24 @@ def test_reranker_model():
     scores2 = model.apply(params, z_t, ids, mask, grid,
                           method=RerankerModel.score_per_query)
     np.testing.assert_allclose(np.asarray(scores), np.asarray(scores2), atol=1e-5)
+
+
+def test_vit_large_factory_and_forward():
+    """'large' factory matches the reference create_vit dims
+    (blip.py:194-209: 1024 hidden / 24 layers / 16 heads) and the module
+    runs end-to-end (tiny image so CPU stays fast)."""
+    import dataclasses
+
+    from candidate_reranking_cir_tpu.config import vit_config
+    from candidate_reranking_cir_tpu.models.vit import VisionTransformer
+
+    cfg = vit_config("large", 384)
+    assert (cfg.hidden_size, cfg.num_layers, cfg.num_heads) == (1024, 24, 16)
+    assert cfg.head_dim == 64 and cfg.num_tokens == 577
+
+    small = dataclasses.replace(vit_config("large", 32), num_layers=2)
+    model = VisionTransformer(small, jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, small.num_tokens, 1024)
