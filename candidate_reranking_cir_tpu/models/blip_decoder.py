@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from candidate_reranking_cir_tpu.config import RetrievalModelConfig
-from candidate_reranking_cir_tpu.models.layers import Dense, LayerNorm
+from candidate_reranking_cir_tpu.models.layers import Dense, LayerNorm, exact_gelu
 from candidate_reranking_cir_tpu.models.med import TextEncoder
 from candidate_reranking_cir_tpu.models.vit import VisionTransformer
 
@@ -40,7 +40,7 @@ class BertLMHead(nn.Module):
     @nn.compact
     def __call__(self, hidden):
         h = Dense(hidden.shape[-1], self.dtype, name="transform")(hidden)
-        h = nn.gelu(h, approximate=False)
+        h = exact_gelu(h)
         h = LayerNorm(self.layer_norm_eps, self.dtype, name="ln")(h)
         logits = Dense(self.vocab_size, self.dtype, name="decoder")(h)
         return logits.astype(jnp.float32)

@@ -31,6 +31,29 @@ def resolve_remat_policy(name: str):
     return policies[name]
 
 
+def exact_gelu(x):
+    """Erf-based GELU (the reference's nn.GELU / BERT activation).
+
+    For float32 compute this is exactly ``nn.gelu(approximate=False)``
+    (bitwise — the parity suites run fp32). For bf16 compute the erf is an
+    elementwise rational approximation (Abramowitz & Stegun 7.1.26, max abs
+    error 9.5e-7 in fp32 — ~4 orders of magnitude below bf16's own
+    resolution; bf16-domain outputs differ from lax.erf by at most 1 ulp):
+    unlike ``lax.erf``, whose TPU lowering refuses to fuse into the
+    producing matmul's epilogue (a separate 0.56 ms VPU+HBM pass per ViT
+    layer, tools/t_vit_pieces.py), the rational form is plain mul/add/exp
+    and rides the epilogue like tanh-GELU does."""
+    if x.dtype == jnp.float32:
+        return nn.gelu(x, approximate=False)
+    x32 = x.astype(jnp.float32)
+    u = jnp.abs(x32) * 0.7071067811865476
+    t = 1.0 / (1.0 + 0.3275911 * u)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    erf = jnp.sign(x32) * (1.0 - poly * jnp.exp(-u * u))
+    return (0.5 * x32 * (1.0 + erf)).astype(x.dtype)
+
+
 class LayerNorm(nn.Module):
     """Float32 LayerNorm that returns in the compute dtype."""
 
@@ -294,7 +317,8 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         h = Dense(self.hidden_features, self.dtype, name="fc1")(x)
-        h = nn.gelu(h, approximate=self.approximate_gelu)
+        h = (nn.gelu(h, approximate=True) if self.approximate_gelu
+             else exact_gelu(h))
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         h = Dense(self.out_features, self.dtype, name="fc2")(h)
         return h

@@ -25,6 +25,7 @@ from candidate_reranking_cir_tpu.models.layers import (
     Dense,
     LayerNorm,
     MultiHeadAttention,
+    exact_gelu,
 )
 from candidate_reranking_cir_tpu.ops.attention import make_additive_mask
 
@@ -97,7 +98,7 @@ class BertFFN(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         cfg = self.cfg
         h = Dense(cfg.intermediate_size, self.dtype, name="intermediate")(x)
-        h = nn.gelu(h, approximate=False)
+        h = exact_gelu(h)
         h = Dense(cfg.hidden_size, self.dtype, name="output")(h)
         h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
         return LayerNorm(cfg.layer_norm_eps, self.dtype, name="ln")(h + x)

@@ -58,3 +58,21 @@ def tiny_vit_cfg():
 
     return ViTConfig(image_size=32, patch_size=8, hidden_size=24, num_layers=2,
                      num_heads=4)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled-executable memory between test modules.
+
+    The suite compiles several hundred CPU programs (full-config parity
+    models among them); with everything cached in-process, the XLA CPU
+    compiler segfaulted on the heaviest compile near the end of the full
+    run (jax _src/compiler.py backend_compile_and_load — reproducible at
+    ~190 accumulated tests, never in isolation). Dropping the caches per
+    module keeps peak compiler memory bounded; intra-module reuse (where
+    the real wins are) is unaffected.
+    """
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()

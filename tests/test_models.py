@@ -203,3 +203,34 @@ def test_vit_large_factory_and_forward():
     params = model.init(jax.random.key(0), x)
     out = model.apply(params, x)
     assert out.shape == (1, small.num_tokens, 1024)
+
+
+def test_exact_gelu_contract():
+    """exact_gelu: bitwise nn.gelu(approximate=False) in fp32; <=1-ulp
+    bf16-domain deviation from the lax.erf form; correct gradient at 0."""
+    from candidate_reranking_cir_tpu.models.layers import exact_gelu
+    from flax import linen as nn
+
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 20001), jnp.float32)
+    assert float(jnp.max(jnp.abs(
+        exact_gelu(x) - nn.gelu(x, approximate=False)))) == 0.0
+
+    xb = x.astype(jnp.bfloat16)
+    got = np.asarray(exact_gelu(xb).astype(jnp.float32))
+    ref = np.asarray(nn.gelu(xb, approximate=False).astype(jnp.float32))
+    # nn.gelu on bf16 runs its erf in bf16, while exact_gelu upcasts to
+    # fp32 internally — so each is within ~1-2 bf16 ulps of the true gelu
+    # and of each other (got is the more accurate of the two)
+    bound = np.maximum(np.abs(ref) * 2.0 ** -6, 2e-3)
+    assert (np.abs(got - ref) <= bound).all()
+
+    g0 = jax.grad(lambda v: exact_gelu(v).sum())(
+        jnp.zeros((1,), jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(g0, np.float32), [0.5], atol=1e-3)
+
+    # fp32 gradient matches the exact form away from 0
+    xs = jnp.asarray([-3.0, -1.0, -0.1, 0.1, 1.0, 3.0], jnp.float32)
+    g_fast = jax.vmap(jax.grad(lambda v: exact_gelu(v)))(xs)
+    g_ref = jax.vmap(jax.grad(lambda v: nn.gelu(v, approximate=False)))(xs)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               atol=1e-6)

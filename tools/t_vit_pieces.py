@@ -102,3 +102,55 @@ def variants():
 
 if __name__ == "__main__" and "--variants" in sys.argv:
     variants()
+
+
+def _erf_rational(x):
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    e = poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * (1.0 - e)
+
+
+def gelu_rational(x):
+    x32 = x.astype(jnp.float32)
+    y = 0.5 * x32 * (1.0 + _erf_rational(x32 * 0.7071067811865476))
+    return y.astype(x.dtype)
+
+
+def variants2():
+    rtt = measure_rtt()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, S, D)) * 0.1, jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(D, H)) * 0.02, jnp.bfloat16)
+    b1 = jnp.zeros((H,), jnp.bfloat16)
+    f1 = 2 * B * S * D * H
+
+    def t(name, fn):
+        dt = chain_time(fn, (x,), rtt, iters=30)
+        print(f"{name:34s} {dt*1e3:7.3f} ms  {f1/dt/1e12:6.1f} TF/s",
+              flush=True)
+
+    t("fc1 + rational-erf gelu", lambda x: gelu_rational(
+        (jnp.dot(x, w1, preferred_element_type=jnp.float32)
+         .astype(jnp.bfloat16) + b1)))
+
+    # accuracy check vs lax.erf gelu on a wide range
+    xs = jnp.asarray(np.linspace(-12, 12, 200001), jnp.float32)
+    exact = 0.5 * xs * (1.0 + jax.lax.erf(xs * 0.7071067811865476))
+    approx = 0.5 * xs * (1.0 + _erf_rational(xs * 0.7071067811865476))
+    print("max |gelu_rational - gelu_erf| fp32:",
+          float(jnp.max(jnp.abs(exact - approx))), flush=True)
+    xb = jnp.asarray(np.linspace(-12, 12, 200001), jnp.bfloat16)
+    eb = jax.nn.gelu(xb, approximate=False)
+    ab = gelu_rational(xb)
+    print("max bf16-domain diff:",
+          float(jnp.max(jnp.abs(eb.astype(jnp.float32)
+                                - ab.astype(jnp.float32)))), flush=True)
+
+
+if __name__ == "__main__" and "--variants2" in sys.argv:
+    variants2()
