@@ -339,8 +339,12 @@ class CIRServingEngine:
         production shapes: the full-depth ranking AND the [q_pad, rerank_k]
         stage-II grid, so the first real request pays no XLA compile."""
         first = next(iter(self.index.pos))
+        # clamp to the compiled ranking depth: a k past _req_max_k is a
+        # client error by contract (_validate), and the compiled programs
+        # depend on max_k/q_pad, not on the probe's k
         req = ServeRequest(caption="warm up", reference=first,
-                           k=max(1, self.index.n_valid - 1))
+                           k=max(1, min(self.index.n_valid - 1,
+                                        self._req_max_k)))
         self.handle([req])
 
     # ---- incremental corpus updates ----------------------------------------

@@ -507,3 +507,17 @@ def test_rerank_depth_grows_with_corpus(stack):
     assert eng.rerank_k == 5  # full requested depth after growth
     res = eng.handle([ServeRequest(caption="x", reference="t0", k=7)])[0]
     assert res.reranked == 5 and len(res.ranking) == 7
+
+
+def test_warmup_with_corpus_larger_than_max_k(stack):
+    """Regression: warmup() used to probe with k = n_valid - 1, which the
+    k > max_k validation (added for silent-truncation safety) rejects
+    whenever the corpus outgrows the compiled ranking depth — i.e. every
+    production-sized server crashed at startup. The probe must clamp."""
+    s1, s1_params, s2, s2_params, tok, index = stack
+    eng = CIRServingEngine(
+        s1, s1_params, tok, index, text_len=10, q_pad=3,
+        reranker=s2, s2_params=s2_params, rerank_k=4, max_k=3)  # 3 < N
+    eng.warmup()
+    out = eng.handle([ServeRequest(caption="red", reference="im0", k=3)])
+    assert len(out[0].ranking) == 3
