@@ -527,14 +527,16 @@ def bench_stage1_eval(rtt):
                          for ln in lengths], np.float64)
     # reference-image-major fusion (validate_engine.predict_queries): the
     # per-layer image K/V projections run once per power-of-2 query chunk,
-    # not once per query — count the ACTUALLY dispatched K/V units so
+    # not once per query — count the ACTUALLY dispatched K/V units with the
+    # scheduler's own group sizes (q <= q_batch; no mesh here) so
     # tflops/mfu reflect scheduled work (batch-tail padding <1%, ignored)
+    group_sizes = [q for q in (8, 4, 2) if q <= q_batch] + [1]
     by_img: dict[int, int] = {}
     for r in ref_idx:
         by_img[int(r)] = by_img.get(int(r), 0) + 1
     kv_units = 0
     for c in by_img.values():
-        for qchunk in (8, 4, 2, 1):
+        for qchunk in group_sizes:
             kv_units += c // qchunk
             c -= (c // qchunk) * qchunk
     our_per_query = (med_fwd_flops(widths, kv_share=kv_units / n_q).mean()

@@ -290,6 +290,13 @@ class MultiHeadAttention(nn.Module):
             self.sow("intermediates", "attn_probs", probs)
             if self.perturb_attention:
                 probs = self.perturb("attn_probs", probs)
+            if rng is not None:
+                # dropout applies AFTER the capture/perturb hooks, like the
+                # reference's save_attention_map -> dropout order
+                # (med.py:129-158)
+                keep = jax.random.bernoulli(rng, 1.0 - self.dropout_rate,
+                                            probs.shape)
+                probs = probs * keep / (1.0 - self.dropout_rate)
             ctx = jnp.einsum("...hqk,...khd->...qhd", probs.astype(self.dtype),
                              v, preferred_element_type=jnp.float32
                              ).astype(self.dtype)

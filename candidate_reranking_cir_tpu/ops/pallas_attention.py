@@ -36,6 +36,35 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_lq_blocks(lq: int, sublane: int) -> tuple[int, int, int]:
+    """Q-row blocking policy shared by the unfolded and folded kernels:
+    returns (lq_block, lq_pad, pad_rows).
+
+    Block shapes must cover the q-row axis EXACTLY: a block reaching past
+    the array's physical allocation makes Mosaic issue out-of-bounds DMAs,
+    which crashed the TPU worker at rerank scale. Preference order (explicit
+    jnp.pads of q/k/v measured 2.9x the whole attention call at ViT shapes,
+    tools/t_nopad_attn.py):
+      1. lq <= 768: one exact block of lq rows (tile-unaligned is fine —
+         Mosaic masks the physical tile padding inside the block's VMEM);
+         a ViT-length query (577) runs as ONE block, not 2x512 with 43%
+         of rows padding (which cost ~8% of the whole ViT forward).
+      2. a sublane-aligned divisor of lq in [384, 768] (candidate-major
+         folds are power-of-two-rich, so one nearly always exists);
+      3. fall back to padding q (and bias rows) only — k/v, the bulk of
+         the bytes, are never padded."""
+    if lq <= 768:
+        return lq, lq, 0
+    for n_blocks in range(-(-lq // 768), lq + 1):
+        if lq % n_blocks == 0 and (lq // n_blocks) % sublane == 0 \
+                and lq // n_blocks >= 384:
+            return lq // n_blocks, lq, 0
+    n_blocks = -(-lq // 512)
+    lq_block = _round_up(-(-lq // n_blocks), sublane)
+    lq_pad = lq_block * n_blocks
+    return lq_block, lq_pad, lq_pad - lq
+
+
 def _head_attention(q, k, v, bias, scale: float, out_dtype):
     """[Lq, D] x [M, D] -> [Lq, D]; exact fp32 softmax in VMEM.
 
@@ -93,33 +122,8 @@ def _fused_attention_fwd_impl(q, k, v, bias, *, interpret: bool | None = None):
     # Block long query sequences (e.g. the candidate-major fold of B*Lq
     # rows) so one program's q block + per-head fp32 scores stay inside the
     # scoped VMEM budget; softmax is exact per row regardless (full M in
-    # VMEM). Block shapes must cover the q-row axis EXACTLY: a block
-    # reaching past the array's physical allocation makes Mosaic issue
-    # out-of-bounds DMAs, which crashed the TPU worker at rerank scale.
-    # Preference order (explicit jnp.pads of q/k/v measured 2.9x the whole
-    # attention call at ViT shapes, tools/t_nopad_attn.py):
-    #   1. lq <= 768: one exact block of lq rows (tile-unaligned is fine —
-    #      Mosaic masks the physical tile padding inside the block's VMEM);
-    #      a ViT-length query (577) runs as ONE block, not 2x512 with 43%
-    #      of rows padding (which cost ~8% of the whole ViT forward).
-    #   2. a sublane-aligned divisor of lq in [384, 768] (candidate-major
-    #      folds are power-of-two-rich, so one nearly always exists);
-    #   3. fall back to padding q (and bias rows) only — k/v, the bulk of
-    #      the bytes, are never padded.
-    lq_pad, pad_rows = lq, 0
-    if lq <= 768:
-        lq_block = lq
-    else:
-        for n_blocks in range(-(-lq // 768), lq + 1):
-            if lq % n_blocks == 0 and (lq // n_blocks) % sublane == 0 \
-                    and lq // n_blocks >= 384:
-                lq_block = lq // n_blocks
-                break
-        else:
-            n_blocks = -(-lq // 512)
-            lq_block = _round_up(-(-lq // n_blocks), sublane)
-            lq_pad = lq_block * n_blocks
-            pad_rows = lq_pad - lq
+    # VMEM). Policy shared with the folded kernel: see _pick_lq_blocks.
+    lq_block, lq_pad, pad_rows = _pick_lq_blocks(lq, sublane)
     n_lq_blocks = lq_pad // lq_block
 
     # Run in [B, H, L, D]; k/v keep their exact M rows (no pads, no masks).
@@ -221,20 +225,7 @@ def _fused_attention_folded_impl(q, k, v, bias, num_heads: int, *,
     scale = d ** -0.5
     sublane = 16 if q.dtype == jnp.bfloat16 else 8
 
-    lq_pad, pad_rows = lq, 0
-    if lq <= 768:
-        lq_block = lq
-    else:
-        for n_blocks in range(-(-lq // 768), lq + 1):
-            if lq % n_blocks == 0 and (lq // n_blocks) % sublane == 0 \
-                    and lq // n_blocks >= 384:
-                lq_block = lq // n_blocks
-                break
-        else:
-            n_blocks = -(-lq // 512)
-            lq_block = _round_up(-(-lq // n_blocks), sublane)
-            lq_pad = lq_block * n_blocks
-            pad_rows = lq_pad - lq
+    lq_block, lq_pad, pad_rows = _pick_lq_blocks(lq, sublane)
     n_lq_blocks = lq_pad // lq_block
     if pad_rows:
         q = jnp.pad(q, ((0, 0), (0, pad_rows), (0, 0)))

@@ -150,7 +150,6 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
             else fuse_fn(refs, ids, msk)
 
     n_dev = mesh.devices.size if mesh is not None else 1
-    singles = np.arange(n)
     if image_major:
         group_sizes = [q for q in (8, 4, 2)
                        if q <= q_batch and (q_batch // q) % n_dev == 0]

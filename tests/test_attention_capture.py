@@ -46,3 +46,33 @@ def test_perturb_attention_gradients():
     out = mha.apply(variables, x)
     ref = MultiHeadAttention(2, 8, 16).apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_capture_branch_applies_attention_dropout():
+    """Regression: the capture/perturb branch drew a dropout rng but never
+    applied it — training with capture_attention=True silently skipped
+    attention dropout. The sowed probs stay PRE-dropout (the reference
+    saves the attention map before its dropout, med.py:129-158), while the
+    context must reflect the dropped probs."""
+    import jax
+    import jax.numpy as jnp
+
+    from candidate_reranking_cir_tpu.models.layers import MultiHeadAttention
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 6, 16)), jnp.float32)
+    m = MultiHeadAttention(2, 8, 16, jnp.float32, dropout_rate=0.5,
+                           capture_attention=True)
+    params = m.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, x, deterministic=False)
+
+    out_det, st = m.apply(params, x, deterministic=True,
+                          mutable=["intermediates"])
+    out_trn, st_trn = m.apply(params, x, deterministic=False,
+                              rngs={"dropout": jax.random.key(2)},
+                              mutable=["intermediates"])
+    # dropout must change the context (rate 0.5 on 2x2x6x6 probs)
+    assert float(jnp.max(jnp.abs(out_det - out_trn))) > 1e-6
+    # sowed probs are pre-dropout in BOTH modes: rows still sum to 1
+    probs = st_trn["intermediates"]["attn_probs"][0]
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
