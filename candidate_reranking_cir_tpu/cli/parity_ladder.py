@@ -9,9 +9,10 @@ validate_stage2.py, and byte-compare the generated test1 submissions with
 files", Instructions_CIRR.md:164). This CLI runs that whole ladder in one
 invocation:
 
-  rung 0  reference-code differential: run the reference's own med.py /
-          nlvr_encoder.py / blip_stage{1,2}.py on CPU vs this framework
-          at full config (needs only --reference-src, no artifacts)
+  rung 0  reference-code differential: run the reference's own vit.py /
+          med.py / nlvr_encoder.py / blip_stage{1,2}.py on CPU vs this
+          framework at full config (needs only --reference-src, no
+          artifacts) — covers the whole forward graph from pixels
   rung 1  convert the stage-I torch checkpoint       (--stage1-ckpt)
   rung 2  convert the stage-II torch checkpoint      (--stage2-ckpt)
   rung 3  stage-I CIRR-val metrics + top-K extraction (--data-root)

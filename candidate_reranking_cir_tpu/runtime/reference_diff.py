@@ -13,11 +13,13 @@ framework's outputs element-for-element.
 
 The reference sources import transformers APIs from v4.15 whose symbols have
 since moved, plus timm/fairscale (absent here); ``load_reference`` installs
-minimal aliases/stubs first. Only module-level imports need the stubs — no
-stubbed symbol participates in any compared computation (the vision tower is
-bypassed by feeding precomputed image features, and tokenization is replaced
-by pre-baked ids since real-vocab tokenization is covered by the tokenizer
-differential tests).
+aliases/stubs first. The three timm symbols the reference ViT actually
+*executes* (PatchEmbed / DropPath / trunc_normal_, vit.py:16-18) are faithful
+reimplementations of their timm-0.4.12 semantics, so ``check_vit`` and
+``check_img_embed`` run the reference's own vit.py end to end from pixels;
+everything else stubbed is import-surface only. Tokenization is replaced by
+pre-baked ids since real-vocab tokenization is covered by the tokenizer
+differential tests.
 
 Checks run from tests/test_reference_differential.py and as rung 0 of
 cli/parity_ladder.py (the only rung that needs no downloaded artifacts).
@@ -58,8 +60,9 @@ def load_reference(src_dir: str = DEFAULT_SRC) -> SimpleNamespace:
         if not hasattr(mu, name):
             setattr(mu, name, getattr(pu, name))
 
-    # timm / fairscale stubs: satisfy module-level imports only — none of the
-    # stubbed symbols is exercised (the reference ViT is never instantiated)
+    # timm stubs. The three symbols vit.py executes (PatchEmbed, DropPath,
+    # trunc_normal_ — vit.py:16-18) are faithful timm-0.4.12 equivalents so
+    # the reference ViT runs for real; the rest satisfy imports only.
     def _module(name, **attrs):
         if name in sys.modules:
             return sys.modules[name]
@@ -69,17 +72,69 @@ def load_reference(src_dir: str = DEFAULT_SRC) -> SimpleNamespace:
         sys.modules[name] = mod
         return mod
 
+    import math
+
+    import torch
+    import torch.nn as tnn
+
+    class _PatchEmbed(tnn.Module):
+        """timm 0.4.12 PatchEmbed: stride-P Conv2d -> flatten -> [B, N, D]."""
+
+        def __init__(self, img_size=224, patch_size=16, in_chans=3,
+                     embed_dim=768, norm_layer=None, flatten=True):
+            super().__init__()
+            to2 = lambda v: v if isinstance(v, tuple) else (v, v)
+            self.img_size, self.patch_size = to2(img_size), to2(patch_size)
+            self.grid_size = (self.img_size[0] // self.patch_size[0],
+                              self.img_size[1] // self.patch_size[1])
+            self.num_patches = self.grid_size[0] * self.grid_size[1]
+            self.proj = tnn.Conv2d(in_chans, embed_dim,
+                                   kernel_size=self.patch_size,
+                                   stride=self.patch_size)
+            self.norm = norm_layer(embed_dim) if norm_layer else tnn.Identity()
+
+        def forward(self, x):
+            assert x.shape[-2:] == torch.Size(self.img_size)
+            return self.norm(self.proj(x).flatten(2).transpose(1, 2))
+
+    class _DropPath(tnn.Module):
+        """timm 0.4.12 DropPath (stochastic depth): identity in eval; in
+        train, zeroes whole samples w.p. drop_prob and rescales by keep."""
+
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob or 0.0
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1.0 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = torch.floor(
+                keep + torch.rand(shape, dtype=x.dtype, device=x.device))
+            return x.div(keep) * mask
+
+    def _trunc_normal(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        """timm 0.4.12 trunc_normal_: inverse-CDF truncated normal fill."""
+        cdf = lambda v: (1.0 + math.erf(v / math.sqrt(2.0))) / 2.0
+        with torch.no_grad():
+            lo, hi = cdf((a - mean) / std), cdf((b - mean) / std)
+            tensor.uniform_(2 * lo - 1, 2 * hi - 1)
+            tensor.erfinv_()
+            tensor.mul_(std * math.sqrt(2.0)).add_(mean)
+            return tensor.clamp_(min=a, max=b)
+
     _unused = lambda *a, **k: None
     timm = _module("timm")
     timm.models = _module(
         "timm.models",
         hub=_module("timm.models.hub", download_cached_file=_unused),
         vision_transformer=_module("timm.models.vision_transformer",
-                                   _cfg=_unused, PatchEmbed=object),
+                                   _cfg=_unused, PatchEmbed=_PatchEmbed),
         registry=_module("timm.models.registry",
                          register_model=lambda f: f),
         layers=_module("timm.models.layers",
-                       trunc_normal_=_unused, DropPath=object),
+                       trunc_normal_=_trunc_normal, DropPath=_DropPath),
         helpers=_module("timm.models.helpers",
                         named_apply=_unused, adapt_input_conv=_unused),
     )
@@ -93,8 +148,8 @@ def load_reference(src_dir: str = DEFAULT_SRC) -> SimpleNamespace:
     sys.path.insert(0, src_dir)
     try:
         mods = {name: importlib.import_module(name)
-                for name in ("med", "nlvr_encoder", "blip_stage1",
-                             "blip_stage2")}
+                for name in ("vit", "med", "nlvr_encoder", "blip",
+                             "blip_stage1", "blip_stage2")}
     finally:
         sys.path.remove(src_dir)
 
@@ -207,6 +262,95 @@ def _record(check: str, ours: np.ndarray, theirs: np.ndarray,
 
 # ---------------------------------------------------------------------------
 # checks
+
+
+IMG_SIZE = 384
+
+
+def _pixels(seed: int, batch: int):
+    """CLIP-normalized-looking random pixels, NCHW fp32."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(scale=1.0,
+                      size=(batch, 3, IMG_SIZE, IMG_SIZE)).astype(np.float32)
+
+
+def check_vit(ref, seed: int = 50) -> dict:
+    """The reference's OWN VisionTransformer (vit.py:113-194, instantiated
+    exactly as create_vit('base', 384) does, blip.py:194-209) vs our Flax
+    VisionTransformer through convert_vit — pixels in, [B, 577, 768] out."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from candidate_reranking_cir_tpu.config import ViTConfig
+    from candidate_reranking_cir_tpu.models.vit import VisionTransformer
+    from candidate_reranking_cir_tpu.runtime import convert
+
+    torch.manual_seed(seed)
+    model, width = ref.blip.create_vit("base", IMG_SIZE)
+    assert width == HID
+    model = model.eval()
+    x = _pixels(seed, batch=2)
+    with torch.no_grad():
+        out = model(torch.as_tensor(x)).numpy()  # [B, 577, 768]
+
+    cfg = ViTConfig()
+    sd = _sd_numpy(model, "visual_encoder.")
+    params = {"params": convert.convert_vit(
+        sd, "visual_encoder", cfg.num_layers, cfg.num_heads,
+        cfg.num_patches)}
+    mine = VisionTransformer(cfg).apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)))  # ours is NHWC
+    return _record("vit_forward", np.asarray(mine), out)
+
+
+def check_img_embed(ref, seed: int = 60) -> dict:
+    """End-to-end image tower: the reference's BLIP_Retrieval.img_embed
+    (blip_stage1.py:48-64; real ViT + vision_proj + L2 norm) vs
+    RetrievalModel.embed_images — pixels in, pooled normalized 256-d out.
+    With check_med/check_stage1_fusion this anchors the entire stage-I
+    forward graph (pixels -> logits) to reference code."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from candidate_reranking_cir_tpu.config import RetrievalModelConfig
+    from candidate_reranking_cir_tpu.models.blip_retrieval import (
+        RetrievalModel,
+    )
+    from candidate_reranking_cir_tpu.runtime import convert
+
+    torch.manual_seed(seed)
+    m = ref.blip_stage1.BLIP_Retrieval.__new__(ref.blip_stage1.BLIP_Retrieval)
+    torch.nn.Module.__init__(m)
+    m.visual_encoder, _ = ref.blip.create_vit("base", IMG_SIZE)
+    m.text_encoder = ref.med.BertModel(ref.config, add_pooling_layer=False)
+    m.vision_proj = torch.nn.Linear(HID, 256)
+    m.text_proj = torch.nn.Linear(HID, 256)
+    m.temp = torch.nn.Parameter(0.07 * torch.ones([]))
+    m.eval()
+
+    x = _pixels(seed + 1, batch=2)
+    with torch.no_grad():
+        raw, pooled = m.img_embed(torch.as_tensor(x),
+                                  return_pool_and_normalized=True)
+
+    sd = (_sd_numpy(m.visual_encoder, "visual_encoder.")
+          | _sd_numpy(m.text_encoder, "text_encoder.")
+          | _sd_numpy(m.vision_proj, "vision_proj.")
+          | _sd_numpy(m.text_proj, "text_proj.")
+          | {"temp": np.float32(0.07)})
+    cfg = RetrievalModelConfig(text=_text_cfg())
+    params = convert.convert_stage1(sd, cfg)
+    model = RetrievalModel(cfg)
+    my_raw, my_pooled = model.apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)), pool_and_normalize=True,
+        method=RetrievalModel.embed_images)
+
+    rec = _record("img_embed_raw", np.asarray(my_raw), raw.numpy())
+    rec_p = _record("img_embed_pooled", np.asarray(my_pooled), pooled.numpy())
+    # fold into one record pair by returning both from run_all
+    return [rec, rec_p]
 
 
 def check_med_multimodal(ref, seed: int = 0) -> dict:
@@ -469,6 +613,8 @@ def run_all(src_dir: str = DEFAULT_SRC, seed: int = 0) -> list[dict]:
                check_dual_twin(ref, seed + 20)]
     records += check_stage1_fusion(ref, seed + 30)
     records += check_stage2_fusion(ref, seed + 40)
+    records += [check_vit(ref, seed + 50)]
+    records += check_img_embed(ref, seed + 60)
     return records
 
 

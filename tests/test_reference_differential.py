@@ -1,7 +1,8 @@
 """Differential parity: the reference's OWN modules vs this framework.
 
-Executes /root/reference/src's med.py, nlvr_encoder.py and the
-blip_stage{1,2} fusion wrappers on CPU torch at the FULL production config
+Executes /root/reference/src's vit.py (via faithful timm-0.4.12 stubs),
+med.py, nlvr_encoder.py and the blip_stage{1,2} fusion/embed wrappers on
+CPU torch at the FULL production config
 (12L/768H, 577 image tokens, vocab 30524) with random-seeded weights, pushes
 their state dicts through runtime/convert.py, and asserts element-level
 agreement (max-abs <= 1e-4, cosine >= 0.9999). The strongest correctness
@@ -62,4 +63,19 @@ def test_stage2_fusion_matches_reference(ref):
     assert [r["check"] for r in recs] == [
         "stage2_train_grid", "stage2_val_scores"]
     for rec in recs:
+        _assert(rec)
+
+
+def test_vit_matches_reference(ref):
+    """The reference's own vit.py (VisionTransformer as create_vit builds
+    it, blip.py:194-209) executed end to end via faithful timm-0.4.12
+    stubs — closes the HF-proxy link: every stage-I/II module is now
+    differentially anchored to reference code."""
+    _assert(reference_diff.check_vit(ref))
+
+
+def test_img_embed_matches_reference(ref):
+    """blip_stage1.img_embed (blip_stage1.py:48-64): pixels -> raw [B,577,768]
+    + pooled normalized 256-d, through the real reference ViT."""
+    for rec in reference_diff.check_img_embed(ref):
         _assert(rec)
