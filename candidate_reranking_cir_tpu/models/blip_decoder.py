@@ -139,6 +139,115 @@ def _cached_greedy_decode(decoder: CaptionDecoder, b: int, bos_id: int,
     return decode
 
 
+def apply_repetition_penalty(logits, ids, mask, penalty: float):
+    """HF CTRL-style repetition penalty (the processor the reference's
+    sampling path applies at blip.py:128-151, repetition_penalty=1.1):
+    every token id present in the sequence so far has its logit divided by
+    ``penalty`` if positive, multiplied if negative. Ids are penalized once
+    each regardless of multiplicity (HF gathers/scatters by token value).
+
+    logits [B, V] fp32; ids [B, T] with validity ``mask`` [B, T]."""
+    if penalty == 1.0:
+        return logits
+    b, v = logits.shape
+    present = jnp.zeros((b, v), bool).at[
+        jnp.arange(b)[:, None], ids].max(mask.astype(bool))
+    penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(present, penalized, logits)
+
+
+def top_p_filter(logits, top_p: float):
+    """Nucleus filtering, HF TopPLogitsWarper semantics (transformers 4.25):
+    sort descending, drop tokens whose cumulative softmax probability EXCEEDS
+    ``top_p`` — except the first token past the threshold, which is kept
+    (HF's shift-right), so at least one token always survives.
+
+    Returns (sorted_logits_masked [B, V], sort_idx [B, V]): sampling runs in
+    the sorted space and maps back through ``sort_idx``, which keeps the
+    kept-set exact even under tied logit values."""
+    sort_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove = cum > top_p
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+    return jnp.where(remove, -jnp.inf, sorted_logits), sort_idx
+
+
+def _cached_sample_decode(decoder: CaptionDecoder, b: int, bos_id: int,
+                          eos_id: int, pad_id: int, max_len: int,
+                          min_len: int, top_p: float, penalty: float):
+    key = (id(decoder), "sample", b, bos_id, eos_id, pad_id, max_len,
+           min_len, top_p, penalty)
+    if key in _DECODE_CACHE:
+        return _DECODE_CACHE[key]
+
+    @jax.jit
+    def decode(params, image_feats, rng):
+        k_img, v_img = decoder.apply(params, image_feats,
+                                     method=CaptionDecoder.precompute_kv)
+        k_self, v_self = _self_cache(decoder, b, max_len)
+        ids = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+        mask = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(1)
+        finished = jnp.zeros((b,), bool)
+
+        def body(carry, inp):
+            ids, mask, k_self, v_self, finished = carry
+            t, step_rng = inp
+            tok = jax.lax.dynamic_slice_in_dim(ids, t, 1, axis=1)
+            logits, (k_self, v_self) = decoder.apply(
+                params, tok, mask, (k_self, v_self, k_img, v_img), t,
+                method=CaptionDecoder.decode_step)
+            logits = apply_repetition_penalty(logits, ids, mask, penalty)
+            # HF MinLengthLogitsProcessor: eos banned while the sequence
+            # (bos included) is shorter than min_len
+            logits = jnp.where((t + 1 < min_len)
+                               & (jnp.arange(logits.shape[-1]) == eos_id),
+                               -jnp.inf, logits)
+            sorted_logits, sort_idx = top_p_filter(logits, top_p)
+            pos = jax.random.categorical(step_rng, sorted_logits, axis=-1)
+            nxt = jnp.take_along_axis(
+                sort_idx, pos[:, None], axis=-1)[:, 0].astype(jnp.int32)
+            nxt = jnp.where(finished, pad_id, nxt)
+            ids = jax.lax.dynamic_update_slice_in_dim(
+                ids, nxt[:, None], t + 1, axis=1)
+            mask = jax.lax.dynamic_update_slice_in_dim(
+                mask, (~finished).astype(jnp.int32)[:, None], t + 1, axis=1)
+            finished = finished | (nxt == eos_id)
+            return (ids, mask, k_self, v_self, finished), None
+
+        steps = jnp.arange(max_len - 1)
+        carry = (ids, mask, k_self, v_self, finished)
+        (ids, *_), _ = jax.lax.scan(
+            body, carry, (steps, jax.random.split(rng, max_len - 1)))
+        return ids
+
+    if len(_DECODE_CACHE) > 32:
+        _DECODE_CACHE.clear()
+    _DECODE_CACHE[key] = decode
+    return decode
+
+
+def sample_caption_cached(decoder: CaptionDecoder, params, image_feats, rng,
+                          *, bos_id: int, eos_id: int, pad_id: int,
+                          max_len: int = 30, min_len: int = 10,
+                          top_p: float = 0.9,
+                          repetition_penalty: float = 1.1) -> jnp.ndarray:
+    """KV-cached nucleus-sampling decode — the reference BLIP_Decoder's
+    ``generate(sample=True)`` mode (blip.py:128-151: do_sample with
+    top_p=0.9, repetition_penalty=1.1, min_length=10, eos = [SEP]).
+
+    One jitted ``lax.scan`` over steps: each step applies the repetition
+    penalty over the tokens emitted so far, bans eos below ``min_len``,
+    nucleus-filters in sorted space (HF shift-right semantics) and draws one
+    token with ``jax.random.categorical``. Deterministic in ``rng``.
+    """
+    decode = _cached_sample_decode(decoder, image_feats.shape[0], bos_id,
+                                   eos_id, pad_id, max_len, min_len,
+                                   top_p, repetition_penalty)
+    return decode(params, image_feats, rng)
+
+
 def greedy_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
                           bos_id: int, eos_id: int, pad_id: int,
                           max_len: int = 20) -> jnp.ndarray:

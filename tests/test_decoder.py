@@ -156,3 +156,77 @@ def test_cached_beam_matches_recompute():
                                              eos_id=3, pad_id=0, max_len=7,
                                              num_beams=nb))
         np.testing.assert_array_equal(out, ref)
+
+
+def test_top_p_filter_hand_checked():
+    """HF TopPLogitsWarper semantics on a hand-built distribution: probs
+    (.5, .3, .15, .05) at top_p=0.7 keeps the minimal prefix whose
+    cumulative probability reaches top_p — {0, 1} (cum .5, .8): token 1
+    crosses the threshold and is kept via HF's shift-right."""
+    from candidate_reranking_cir_tpu.models.blip_decoder import top_p_filter
+
+    probs = np.asarray([[0.5, 0.3, 0.15, 0.05]])
+    logits = jnp.asarray(np.log(probs), jnp.float32)
+    sorted_logits, sort_idx = top_p_filter(logits, 0.7)
+    kept = np.isfinite(np.asarray(sorted_logits))[0]
+    order = np.asarray(sort_idx)[0]
+    assert order.tolist() == [0, 1, 2, 3]
+    # cum = .5, .8, .95, 1.0 -> remove where the PREVIOUS cum > .7
+    assert kept.tolist() == [True, True, False, False]
+    # kept logits are untouched (sampling distribution is exact)
+    np.testing.assert_allclose(np.asarray(sorted_logits)[0, :2],
+                               np.log(probs)[0, :2], rtol=1e-6)
+    # degenerate top_p always keeps the argmax
+    sorted_logits, _ = top_p_filter(logits, 0.0)
+    assert np.isfinite(np.asarray(sorted_logits))[0].tolist() == [
+        True, False, False, False]
+
+
+def test_repetition_penalty_hand_checked():
+    from candidate_reranking_cir_tpu.models.blip_decoder import (
+        apply_repetition_penalty,
+    )
+
+    logits = jnp.asarray([[2.0, -2.0, 1.0, 0.5]], jnp.float32)
+    ids = jnp.asarray([[0, 1, 1, 3]], jnp.int32)   # 3 masked out below
+    mask = jnp.asarray([[1, 1, 1, 0]], jnp.int32)
+    out = np.asarray(apply_repetition_penalty(logits, ids, mask, 2.0))
+    # seen ids {0, 1}: positive /2, negative *2; id 1 penalized ONCE
+    np.testing.assert_allclose(out, [[1.0, -4.0, 1.0, 0.5]], rtol=1e-6)
+    # penalty 1.0 is the identity
+    out = np.asarray(apply_repetition_penalty(logits, ids, mask, 1.0))
+    np.testing.assert_allclose(out, np.asarray(logits))
+
+
+def test_sample_caption_cached_structure():
+    """Nucleus decode: bos prefix, min_len eos ban, pad-after-eos, and
+    determinism in the PRNG key (reference blip.py:128-151 semantics)."""
+    from candidate_reranking_cir_tpu.models.blip_decoder import (
+        sample_caption_cached,
+    )
+
+    model = CaptionDecoder(CFG)
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.normal(size=(3, 16, 16, 3)), jnp.float32)
+    ids = jnp.ones((3, 8), jnp.int32)
+    params = model.init(jax.random.key(0), images, ids, ids)
+    feats = model.apply(params, images,
+                        method=lambda m, im: m.visual_encoder(im))
+
+    kw = dict(bos_id=2, eos_id=3, pad_id=0, max_len=10, min_len=6)
+    out1 = np.asarray(sample_caption_cached(model, params, feats,
+                                            jax.random.key(7), **kw))
+    out2 = np.asarray(sample_caption_cached(model, params, feats,
+                                            jax.random.key(7), **kw))
+    out3 = np.asarray(sample_caption_cached(model, params, feats,
+                                            jax.random.key(8), **kw))
+    assert out1.shape == (3, 10)
+    np.testing.assert_array_equal(out1, out2)      # key-deterministic
+    assert not np.array_equal(out1, out3)          # key actually matters
+    assert (out1[:, 0] == 2).all()
+    for row in out1:
+        # eos banned while len < min_len (bos counts, HF cur_len semantics)
+        assert not (row[1:5] == 3).any()
+        eos = np.flatnonzero(row == 3)
+        if eos.size:                               # pad after first eos
+            assert (row[eos[0] + 1:] == 0).all()
