@@ -35,6 +35,15 @@ class TextEncoderConfig:
     merge_mlp_from: int = 6
     # route attention through the Pallas VMEM-resident kernel where eligible
     fused_attention: bool = False
+    # sow every layer's attention probabilities into the 'intermediates'
+    # collection (the reference's save_attention_map hooks, med.py:129-133);
+    # read back via mutable=['intermediates']. Forces query-major fusion
+    # scheduling so sowed probs keep the per-query [B, H, L, M] layout.
+    capture_attention: bool = False
+    # additionally register the probs as flax perturbations (the reference's
+    # save_attn_gradients backward hook): jax.grad w.r.t. 'perturbations'
+    # yields dLoss/dAttnProbs. Same query-major forcing as capture.
+    perturb_attention: bool = False
     # rematerialize each layer in backward (required to train the pair-grid
     # dual encoder on one chip: saved attention scores otherwise need ~50 GB,
     # the same blow-up that costs the reference ~70 GB on A100)

@@ -71,7 +71,9 @@ class BertSelfAttentionBlock(nn.Module):
         cfg = self.cfg
         attn = MultiHeadAttention(
             cfg.num_heads, cfg.head_dim, cfg.hidden_size, self.dtype,
-            cfg.attention_dropout, fused=cfg.fused_attention, name="attn")
+            cfg.attention_dropout, fused=cfg.fused_attention,
+            capture_attention=cfg.capture_attention,
+            perturb_attention=cfg.perturb_attention, name="attn")
         if kv_only:
             return attn(x, kv, kv_only=True)
         new_cache = None
@@ -229,7 +231,11 @@ class TextEncoder(nn.Module):
                                  policy=resolve_remat_policy(cfg.remat_policy))
             return nn.scan(
                 layer,
-                variable_axes={"params": 0},
+                # intermediates/perturbations get a leading layer axis so the
+                # capture_attention / perturb_attention hooks work through
+                # the scanned stack (sowed probs stack to [n_layers, ...])
+                variable_axes={"params": 0, "intermediates": 0,
+                               "perturbations": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
                          nn.broadcast, 0, nn.broadcast, nn.broadcast),
@@ -265,6 +271,16 @@ class TextEncoder(nn.Module):
             text_bias = text_bias + (1.0 - tri)[None, None] * -10000.0
         if multimodal:
             assert image_embeds is not None, "multimodal mode needs image_embeds"
+            if query_group > 1 and (cfg.capture_attention
+                                    or cfg.perturb_attention):
+                # introspection contract: sowed attn_probs must keep the
+                # per-query [B, H, L, M] layout, which the image-major fold
+                # would silently change to [G, H, Q*L, M] — unfold by
+                # repeating each image's features across its queries (the
+                # fold is a perf optimization only; introspection runs don't
+                # care about the duplicated K/V projections)
+                image_embeds = jnp.repeat(image_embeds, query_group, axis=0)
+                query_group = 1
             if query_group > 1:
                 assert input_ids.shape[0] == \
                     image_embeds.shape[0] * query_group, (

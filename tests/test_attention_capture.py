@@ -76,3 +76,46 @@ def test_capture_branch_applies_attention_dropout():
     # sowed probs are pre-dropout in BOTH modes: rows still sum to 1
     probs = st_trn["intermediates"]["attn_probs"][0]
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_med_capture_through_scan_and_query_group():
+    """capture_attention threaded through TextEncoderConfig: sowed probs
+    stack per layer through the nn.scan, and image-major fusion
+    (query_group>1) is forced back to query-major so the layout stays
+    per-query [B, H, L, M] (advisor r3: the fold would silently sow
+    [G, H, Q*L, M])."""
+    from candidate_reranking_cir_tpu.config import TextEncoderConfig
+    from candidate_reranking_cir_tpu.models.med import TextEncoder
+
+    cfg = TextEncoderConfig(vocab_size=40, hidden_size=16, num_layers=2,
+                            num_heads=2, intermediate_size=32,
+                            encoder_width=16, hidden_dropout=0.0,
+                            attention_dropout=0.0, capture_attention=True)
+    enc = TextEncoder(cfg, "multimodal")
+    rng = np.random.default_rng(2)
+    g, q, l, m = 3, 2, 5, 7
+    ids = jnp.asarray(rng.integers(1, 40, size=(g * q, l)), jnp.int32)
+    mask = jnp.ones((g * q, l), jnp.int32)
+    img = jnp.asarray(rng.normal(size=(g, m, 16)), jnp.float32)
+
+    params = enc.init(jax.random.key(0), ids, mask, img, query_group=q)
+    out_g, st = enc.apply(params, ids, mask, img, query_group=q,
+                          mutable=["intermediates"])
+
+    # query-major reference: each query against its own repeated image
+    img_rep = jnp.repeat(img, q, axis=0)
+    out_ref, st_ref = enc.apply(params, ids, mask, img_rep,
+                                mutable=["intermediates"])
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_ref),
+                               atol=1e-5)
+
+    layers = st["intermediates"]["layers"]
+    self_probs = layers["self_attn"]["attn"]["attn_probs"][0]
+    cross_probs = layers["cross_attn"]["attn"]["attn_probs"][0]
+    # per-layer stacking from the scan + per-query layouts
+    assert self_probs.shape == (cfg.num_layers, g * q, 2, l, l)
+    assert cross_probs.shape == (cfg.num_layers, g * q, 2, l, m)
+    ref_cross = st_ref["intermediates"]["layers"]["cross_attn"]["attn"][
+        "attn_probs"][0]
+    np.testing.assert_allclose(np.asarray(cross_probs),
+                               np.asarray(ref_cross), atol=1e-6)
