@@ -223,11 +223,18 @@ class MultiHeadAttention(nn.Module):
                                   batch=flat_batch)
             else:
                 # eval path: pays off for long query rows (ViT's 577-token
-                # self-attention: 852 -> 978 img/s); at short text widths
-                # (<=64-token MED rows) the per-head lane slicing costs
-                # more than the relayout it avoids (measured -5% on the
-                # stage-I fusion phase)
-                folded = x.shape[-2] >= 128
+                # self-attention: 852 -> 978 img/s) AND for cross-attention
+                # to a long K/V sequence at ANY query width — there the
+                # K/V projections are the dominant FLOP term and the flat
+                # [D, H*D] matmul beats the einsum's N=64 conv lowering by
+                # ~2x at the image-major fusion shapes (tools/t_xattn_forms:
+                # [64,48]x577 0.58 vs 0.99 ms, [128,24]x577 1.37 vs 2.79 —
+                # supersedes the r3 "-5% at MED text widths" query-major
+                # measurement). Short self-attention (<=64-token MED rows)
+                # stays unfolded: its cost is below timing resolution either
+                # way and the lane slicing has no K/V win to amortize.
+                folded = (x.shape[-2] >= 128
+                          or (y is not x and y.shape[-2] >= 128))
         if folded:
             from candidate_reranking_cir_tpu.ops.attention import (
                 dot_product_attention_folded,
