@@ -183,8 +183,13 @@ def _stage1_models(train: bool):
             vit=vit_config("base", 384, remat=True, fused_attention=True),
             text=TextEncoderConfig(remat=True, fused_attention=True))
     else:
+        # text fused too, matching cli/common.py's TPU default ('auto'): the
+        # folded kernel + flat projections now engage for cross-attention at
+        # every query width (tools/t_xattn_forms.py) — the bench previously
+        # measured the XLA text path the CLI never runs on TPU
         cfg = RetrievalModelConfig(
-            vit=vit_config("base", 384, fused_attention=True))
+            vit=vit_config("base", 384, fused_attention=True),
+            text=TextEncoderConfig(fused_attention=True))
     return RetrievalModel(cfg, dtype=jnp.bfloat16), cfg
 
 
@@ -470,9 +475,11 @@ def bench_stage1_eval(rtt):
     model, cfg = _stage1_models(train=False)
     L = cfg.text_len
     im = cfg.vit.image_size
-    # embed_bs=32: the ViT throughput peak (768 img/s vs 640 at 64 — see
-    # tools/t_vit_sweep.py; throughput falls with batch on v5e)
-    n_idx, n_q, embed_bs, q_batch = 2297, 4181, 32, 128  # CIRR-val scale
+    # embed_bs: the r4 standalone re-sweep puts the ViT peak at 64/128
+    # (1,198 img/s vs 1,182 at 32, tools/t_vit_sweep.py) but inside the
+    # embed scan 32 and 64 measure identical (1,110 img/s) and 64 adds a
+    # reproducible ~0.1 s to the ranking phase — so 32 stays
+    n_idx, n_q, embed_bs, q_batch = 2297, 4181, 32, 256  # CIRR-val scale
 
     ids0 = jnp.ones((2, L), jnp.int32)
     params = rand_params(

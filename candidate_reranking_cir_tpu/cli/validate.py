@@ -46,6 +46,10 @@ def main(argv=None):
     parser.add_argument("--topk-out", type=str, default="",
                         help="output path for the top-k file (.npz or .pt)")
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--q-batch", type=int, default=256,
+                        help="fusion scheduler batch (decoupled from the "
+                             "ViT embed batch: embed peaks small, fusion "
+                             "peaks large)")
     parser.add_argument("--query-major-fusion", action="store_true",
                         help="disable the reference-image-major fusion "
                              "scheduler (identical math; for debugging / "
@@ -69,7 +73,7 @@ def main(argv=None):
         result, payload = evaluate_cirr_stage1(
             model, params, classic, relative, tokenizer,
             text_len=args.text_len, batch_size=args.batch_size,
-            save_topk_k=k, mesh=mesh,
+            save_topk_k=k, mesh=mesh, q_batch=args.q_batch,
             image_major=not args.query_major_fusion)
         print_metrics(result.metrics)
         if payload is not None:
@@ -93,6 +97,7 @@ def main(argv=None):
                 model, params, classic, relative, tokenizer,
                 text_len=args.text_len, batch_size=args.batch_size,
                 save_topk_k=k, dress_types=[dress], mesh=mesh,
+                q_batch=args.q_batch,
                 image_major=not args.query_major_fusion)
             print(f"\n[{dress}]")
             print_metrics(result.metrics)

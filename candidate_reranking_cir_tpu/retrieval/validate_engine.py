@@ -49,12 +49,39 @@ def make_stage1_fns(model: RetrievalModel, params):
         return model.apply(p, ref_feats, ids, mask, query_group=query_group,
                            method=RetrievalModel.fuse)
 
+    @partial(jax.jit, static_argnames="query_group")
+    def _fuse_scan(p, index_feats, refs_idx, ids, mask, query_group=1):
+        """Scan over S same-shape fusion batches in ONE device program:
+        refs_idx [S, G] corpus rows, ids/mask [S, B, W] -> preds [S, B, E].
+        The reference-feature gather runs inside the program, so a whole
+        batch group costs one launch instead of 5-6 (gather + 2 H2D + fuse
+        + slice + cast) x S — on the remote-relay rig each launch costs
+        5-10 ms of submission latency, which dominated the fusion phase.
+        Token ids/mask stay HOST-gathered: an r4 variant that uploaded the
+        full id tables once and gathered rows inside the program measured
+        ~4% slower — the host gathers are free (host idles during device
+        compute; H2D is async) while in-program gathers spend device time."""
+        def body(c, xs):
+            ri, i, m = xs
+            refs = jnp.take(index_feats, ri, axis=0)
+            pred = model.apply(p, refs, i, m, query_group=query_group,
+                               method=RetrievalModel.fuse)
+            return c, pred
+
+        _, out = jax.lax.scan(body, 0.0, (refs_idx, ids, mask))
+        return out
+
     def embed(images):
         return _embed(params, images)
 
     def fuse(ref_feats, ids, mask, query_group=1):
         return _fuse(params, ref_feats, ids, mask, query_group=query_group)
 
+    def fuse_scan(index_feats, refs_idx, ids, mask, query_group=1):
+        return _fuse_scan(params, index_feats, refs_idx, ids, mask,
+                          query_group=query_group)
+
+    fuse.scan = fuse_scan
     return embed, fuse
 
 
@@ -111,6 +138,13 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
 
     mesh: optional jax Mesh — each fixed-size query batch is sharded over the
     data axis so fusion runs SPMD across the chips (q_batch must divide).
+
+    Compile-count note: one program per (query_group, L-bucket, width)
+    combination, plus one scan program per such combination with >= 2
+    batches (scan lengths 8/2 reused across evals) — ~2x the query-major
+    path's program count. First-eval warm-up through a remote-compile relay
+    is correspondingly slower; pass l_buckets=None and image_major=False to
+    trade steady-state throughput for minimum compiles.
     """
     from candidate_reranking_cir_tpu.parallel.mesh import (
         batch_sharding,
@@ -133,12 +167,25 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
 
     preds = []       # device arrays, scheduling order
     sched_rows = []  # original row index of each emitted pred row
+    # single-device fast path: batches accumulate per (query_group, width)
+    # and run as lax.scan groups — one launch per group instead of 5-6
+    # device ops per batch (see make_stage1_fns._fuse_scan). Under a mesh
+    # the per-batch sharded dispatch below is kept (virtual-mesh tests and
+    # multi-chip runs don't pay the relay's launch latency).
+    scan_fn = getattr(fuse_fn, "scan", None) if mesh is None else None
+    pending: dict[tuple[int, int], list] = {}
 
-    def dispatch(rows, refs_rows, width, query_group):
-        """rows: [G*Q] original query rows, image-contiguous; refs_rows: [G]
-        corpus indices. Keeps results ON DEVICE and defers all fetches (a
-        per-batch np.asarray would sync every dispatch, serializing compute
-        with the relay RTT)."""
+    def dispatch(rows, refs_rows, width, query_group, count):
+        """rows: [G*Q] original query rows, image-contiguous (tail padded
+        with repeats of rows already in the batch); refs_rows: [G] corpus
+        indices; count: number of REAL rows. Keeps results ON DEVICE and
+        defers all fetches (a per-batch np.asarray would sync every
+        dispatch, serializing compute with the relay RTT)."""
+        if scan_fn is not None:
+            pending.setdefault((query_group, width), []).append(
+                (np.asarray(rows, np.int32),
+                 np.asarray(refs_rows, np.int32)))
+            return
         refs = jnp.take(index_feats, jnp.asarray(refs_rows, np.int32), axis=0)
         ids = jnp.asarray(ids_all[rows][:, :width])
         msk = jnp.asarray(mask_all[rows][:, :width])
@@ -146,8 +193,39 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
             refs = jax.device_put(refs, batch_sharding(mesh, refs.ndim))
             ids = jax.device_put(ids, batch_sharding(mesh, 2))
             msk = jax.device_put(msk, batch_sharding(mesh, 2))
-        return fuse_fn(refs, ids, msk, query_group) if query_group > 1 \
+        pred = fuse_fn(refs, ids, msk, query_group) if query_group > 1 \
             else fuse_fn(refs, ids, msk)
+        preds.append(pred[:count].astype(jnp.float32))
+        sched_rows.extend(rows[:count].tolist())
+
+    def flush_pending():
+        """Run the accumulated batch groups: scans of length 8/2 per
+        (query_group, width) shape family, leftovers as direct calls.
+        Padded tail rows are NOT sliced off per batch (that would cost one
+        launch each); they are exact duplicates of real rows in the same
+        batch (identical refs + ids), so the inverse permutation below can
+        safely resolve a row to any of its copies."""
+        for (q, width), batches in pending.items():
+            i, nb = 0, len(batches)
+            while nb - i >= 2:
+                s = 8 if nb - i >= 8 else 2
+                chunk = batches[i:i + s]
+                rows_m = np.stack([c[0] for c in chunk])
+                refs_m = np.stack([c[1] for c in chunk])
+                out = scan_fn(index_feats, jnp.asarray(refs_m),
+                              jnp.asarray(ids_all[rows_m][..., :width]),
+                              jnp.asarray(mask_all[rows_m][..., :width]), q)
+                preds.append(out.reshape(-1, out.shape[-1]))
+                sched_rows.extend(rows_m.reshape(-1).tolist())
+                i += s
+            for rows, refs_rows in batches[i:]:
+                refs = jnp.take(index_feats, jnp.asarray(refs_rows), axis=0)
+                ids = jnp.asarray(ids_all[rows][:, :width])
+                msk = jnp.asarray(mask_all[rows][:, :width])
+                pred = fuse_fn(refs, ids, msk, q) if q > 1 \
+                    else fuse_fn(refs, ids, msk)
+                preds.append(pred)
+                sched_rows.extend(rows.tolist())
 
     n_dev = mesh.devices.size if mesh is not None else 1
     if image_major:
@@ -184,9 +262,7 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
                                   np.int64)
                 refs_rows = np.asarray([r for r, _ in batch], np.int32)
                 width = int(bucket_of[rows[:count]].max())
-                pred = dispatch(rows, refs_rows, width, q)
-                preds.append(pred[:count].astype(jnp.float32))
-                sched_rows.extend(rows[:count].tolist())
+                dispatch(rows, refs_rows, width, q, count)
     else:
         singles = np.argsort(bucket_of, kind="stable")
 
@@ -197,13 +273,16 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
         if count < q_batch:  # pad the tail with repeats
             rows = np.concatenate(
                 [rows, np.repeat(rows[:1], q_batch - count)])
-        pred = dispatch(rows, ref_idx[rows], width, 1)
-        preds.append(pred[:count].astype(jnp.float32))
-        sched_rows.extend(rows[:count].tolist())
+        dispatch(rows, ref_idx[rows], width, 1, count)
 
-    grouped = jnp.concatenate(preds)
+    flush_pending()
+    grouped = jnp.concatenate(preds) if len(preds) > 1 else preds[0]
+    grouped = grouped.astype(jnp.float32)
+    # scheduled rows may contain duplicates (batch-tail padding on the scan
+    # path); every duplicate carries an identical prediction, so the last
+    # write wins harmlessly
     inv = np.empty(n, np.int64)
-    inv[np.asarray(sched_rows, np.int64)] = np.arange(n)
+    inv[np.asarray(sched_rows, np.int64)] = np.arange(len(sched_rows))
     return jnp.take(grouped, jnp.asarray(inv), axis=0)
 
 
@@ -320,7 +399,12 @@ def ranked_slices(pred, pooled_index, width: int,
 def evaluate_cirr_stage1(model, params, dataset_classic, dataset_relative,
                          tokenizer, *, text_len: int, batch_size: int = 32,
                          save_topk_k: int | None = None, mesh=None,
-                         image_major: bool = True) -> tuple:
+                         image_major: bool = True,
+                         q_batch: int = 256) -> tuple:
+    """batch_size drives the ViT index embed (throughput peaks at small
+    batch, tools/t_vit_sweep.py); q_batch drives the fusion scheduler
+    (peaks at LARGE batch — 256 measured 14% over 128, tools/t_fusion_trace
+    — so the two are deliberately decoupled)."""
     embed, fuse = make_stage1_fns(model, params)
     raw, pooled, index_names = build_index(dataset_classic, embed,
                                            batch_size, pooled=True, mesh=mesh)
@@ -334,7 +418,7 @@ def evaluate_cirr_stage1(model, params, dataset_classic, dataset_relative,
         groups.append(s["group_members"])
 
     pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
-                           text_len, batch_size, mesh=mesh,
+                           text_len, q_batch, mesh=mesh,
                            image_major=image_major)
     # device-side truncated ranking + exact entity ranks: metrics, subset
     # metrics and the top-k artifact only consume the first ~max(500, k)
@@ -363,7 +447,8 @@ def evaluate_fiq_stage1(model, params, dataset_classic, dataset_relative,
                         tokenizer, *, text_len: int, batch_size: int = 32,
                         save_topk_k: int | None = None,
                         dress_types: list[str] | None = None,
-                        mesh=None, image_major: bool = True) -> tuple:
+                        mesh=None, image_major: bool = True,
+                        q_batch: int = 256) -> tuple:
     embed, fuse = make_stage1_fns(model, params)
     raw, pooled, index_names = build_index(dataset_classic, embed,
                                            batch_size, pooled=True, mesh=mesh)
@@ -377,7 +462,7 @@ def evaluate_fiq_stage1(model, params, dataset_classic, dataset_relative,
     captions = compose_fiq_eval(captions_pairs)
 
     pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
-                           text_len, batch_size, mesh=mesh,
+                           text_len, q_batch, mesh=mesh,
                            image_major=image_major)
     pos = {name: i for i, name in enumerate(index_names)}
     ent = np.asarray([[pos[t]] for t in targets], np.int32)

@@ -20,7 +20,9 @@ def main():
     model, cfg = _stage1_models(train=False)
     L = cfg.text_len
     im = cfg.vit.image_size
-    n_idx, n_q, embed_bs, q_batch = 2297, 4181, 32, 128
+    n_idx, n_q, embed_bs, q_batch = 2297, 4181, 32, 256
+    if len(sys.argv) > 2:
+        embed_bs, q_batch = int(sys.argv[1]), int(sys.argv[2])
 
     ids0 = jnp.ones((2, L), jnp.int32)
     params = rand_params(
