@@ -67,7 +67,7 @@ def _bwd_kernel_folded_T(seed_ref, q_ref, k_ref, v_ref, b_ref, g_ref,
             dk_ref[e, :, sl] = dkT.T.astype(dk_ref.dtype)
 
 
-def bwd_T(q, k, v, bias, seed, g, rate, num_heads):
+def bwd_T(q, k, v, bias, seed, g, rate, num_heads, interpret=False):
     b, lq, hd = q.shape
     m = k.shape[1]
     d = hd // num_heads
@@ -91,7 +91,7 @@ def bwd_T(q, k, v, bias, seed, g, rate, num_heads):
                    jax.ShapeDtypeStruct((b, m, hd), v.dtype)),
         cost_estimate=cost,
         compiler_params=T._COMPILER_PARAMS,
-        interpret=False,
+        interpret=interpret,
     )(seed, q, k, v, bias3, g)
 
 
@@ -106,18 +106,40 @@ def main():
     g = jnp.asarray(rng.normal(size=(b, lq, hd)) * 0.05, jnp.bfloat16)
     seed = jnp.zeros((1,), jnp.int32)
 
-    cur = jax.jit(lambda *a: T._bwd_impl_folded(*a, rate=rate, num_heads=h,
-                                                interpret=False))
-    var = jax.jit(lambda *a: bwd_T(*a, rate=rate, num_heads=h))
-    for name, fn in (("current", cur), ("transposed-dv/dk", var)):
+    def timed(fn, n=10):
+        # chain sequentially, keeping only scalars on device (10 full
+        # gradient sets would be ~9 GB and OOM the chip)
+        @jax.jit
+        def probe(s):
+            dq, dk, dv = fn(q, k, v, None, s, g)
+            return (dq[0, 0, :1].astype(jnp.float32)
+                    + dk[0, 0, :1].astype(jnp.float32)
+                    + dv[0, 0, :1].astype(jnp.float32))
+        float(probe(seed)[0])
+        t0 = time.perf_counter()
+        acc = [probe(seed) for _ in range(n)]
+        jax.block_until_ready(acc)
+        return (time.perf_counter() - t0 - rtt) / n
+
+    # numerics cross-check in interpret mode at tiny shapes (no Mosaic
+    # compile; same math, same dropout mask keying)
+    bs = 8
+    o1 = T._bwd_impl_folded(q[:bs], k[:bs], v[:bs], None, seed, g[:bs],
+                            rate=rate, num_heads=h, interpret=True)
+    o2 = bwd_T(q[:bs], k[:bs], v[:bs], None, seed, g[:bs], rate=rate,
+               num_heads=h, interpret=True)
+    for a, bb, nm in zip(o1, o2, ("dq", "dk", "dv")):
+        d = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - bb.astype(jnp.float32))))
+        print(f"max|Δ{nm}| = {d:.2e}", flush=True)
+
+    for name, fn in (
+            ("current", lambda *a: T._bwd_impl_folded(
+                *a, rate=rate, num_heads=h, interpret=False)),
+            ("transposed-dv/dk", lambda *a: bwd_T(*a, rate=rate,
+                                                  num_heads=h))):
         try:
-            outs = fn(q, k, v, None, seed, g)
-            jax.block_until_ready(outs)
-            n = 10
-            t0 = time.perf_counter()
-            rs = [fn(q, k, v, None, seed, g) for _ in range(n)]
-            jax.block_until_ready(rs)
-            dt = (time.perf_counter() - t0 - rtt) / n
+            dt = timed(fn)
             fl = 5 * 2 * b * h * lq * m * (hd // h)
             print(f"bwd {name:18s}: {dt*1e3:7.2f} ms  {fl/dt/1e12:6.1f} TF/s",
                   flush=True)
@@ -125,16 +147,6 @@ def main():
             print(f"bwd {name:18s}: FAILED {type(e).__name__}: {e}",
                   flush=True)
 
-    # numerics cross-check (rate=0 so dropout masks don't need to agree)
-    o1 = jax.jit(lambda *a: T._bwd_impl_folded(*a, rate=0.0, num_heads=h,
-                                               interpret=False))(
-        q, k, v, None, seed, g)
-    o2 = jax.jit(lambda *a: bwd_T(*a, rate=0.0, num_heads=h))(
-        q, k, v, None, seed, g)
-    for a, bb, nm in zip(o1, o2, ("dq", "dk", "dv")):
-        d = float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                                  - bb.astype(jnp.float32))))
-        print(f"max|Δ{nm}| = {d:.2e}", flush=True)
 
 
 if __name__ == "__main__":
