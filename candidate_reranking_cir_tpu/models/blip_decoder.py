@@ -99,19 +99,30 @@ def _self_cache(decoder: CaptionDecoder, b: int, max_len: int):
 _DECODE_CACHE: dict = {}
 
 
+def _prompt_prefix(bos_id: int, prompt_ids: tuple) -> jnp.ndarray:
+    """[bos, *prompt] row vector — the decode-conditioning prefix (the
+    reference tokenizes 'a picture of ', overwrites token 0 with bos and
+    drops the trailing [SEP]: blip.py:119-127)."""
+    return jnp.asarray([bos_id, *prompt_ids], jnp.int32)
+
+
 def _cached_greedy_decode(decoder: CaptionDecoder, b: int, bos_id: int,
-                          eos_id: int, pad_id: int, max_len: int):
-    key = (id(decoder), b, bos_id, eos_id, pad_id, max_len)
+                          eos_id: int, pad_id: int, max_len: int,
+                          prompt_ids: tuple = ()):
+    key = (id(decoder), b, bos_id, eos_id, pad_id, max_len, prompt_ids)
     if key in _DECODE_CACHE:
         return _DECODE_CACHE[key]
+    prefix = _prompt_prefix(bos_id, prompt_ids)
+    p = len(prompt_ids) + 1
+    assert p < max_len, "prompt must be shorter than max_len"
 
     @jax.jit
     def decode(params, image_feats):
         k_img, v_img = decoder.apply(params, image_feats,
                                      method=CaptionDecoder.precompute_kv)
         k_self, v_self = _self_cache(decoder, b, max_len)
-        ids = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
-        mask = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(1)
+        ids = jnp.full((b, max_len), pad_id, jnp.int32).at[:, :p].set(prefix)
+        mask = jnp.zeros((b, max_len), jnp.int32).at[:, :p].set(1)
         finished = jnp.zeros((b,), bool)
 
         def body(carry, t):
@@ -122,6 +133,9 @@ def _cached_greedy_decode(decoder: CaptionDecoder, b: int, bos_id: int,
                 method=CaptionDecoder.decode_step)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             nxt = jnp.where(finished, pad_id, nxt)
+            if p > 1:  # prompt conditioning: positions < p stay forced
+                nxt = jnp.where(t + 1 < p, prefix[jnp.minimum(t + 1, p - 1)],
+                                nxt)
             ids = jax.lax.dynamic_update_slice_in_dim(
                 ids, nxt[:, None], t + 1, axis=1)
             mask = jax.lax.dynamic_update_slice_in_dim(
@@ -176,19 +190,23 @@ def top_p_filter(logits, top_p: float):
 
 def _cached_sample_decode(decoder: CaptionDecoder, b: int, bos_id: int,
                           eos_id: int, pad_id: int, max_len: int,
-                          min_len: int, top_p: float, penalty: float):
+                          min_len: int, top_p: float, penalty: float,
+                          prompt_ids: tuple = ()):
     key = (id(decoder), "sample", b, bos_id, eos_id, pad_id, max_len,
-           min_len, top_p, penalty)
+           min_len, top_p, penalty, prompt_ids)
     if key in _DECODE_CACHE:
         return _DECODE_CACHE[key]
+    prefix = _prompt_prefix(bos_id, prompt_ids)
+    p = len(prompt_ids) + 1
+    assert p < max_len, "prompt must be shorter than max_len"
 
     @jax.jit
     def decode(params, image_feats, rng):
         k_img, v_img = decoder.apply(params, image_feats,
                                      method=CaptionDecoder.precompute_kv)
         k_self, v_self = _self_cache(decoder, b, max_len)
-        ids = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
-        mask = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(1)
+        ids = jnp.full((b, max_len), pad_id, jnp.int32).at[:, :p].set(prefix)
+        mask = jnp.zeros((b, max_len), jnp.int32).at[:, :p].set(1)
         finished = jnp.zeros((b,), bool)
 
         def body(carry, inp):
@@ -209,6 +227,9 @@ def _cached_sample_decode(decoder: CaptionDecoder, b: int, bos_id: int,
             nxt = jnp.take_along_axis(
                 sort_idx, pos[:, None], axis=-1)[:, 0].astype(jnp.int32)
             nxt = jnp.where(finished, pad_id, nxt)
+            if p > 1:  # prompt conditioning: positions < p stay forced
+                nxt = jnp.where(t + 1 < p, prefix[jnp.minimum(t + 1, p - 1)],
+                                nxt)
             ids = jax.lax.dynamic_update_slice_in_dim(
                 ids, nxt[:, None], t + 1, axis=1)
             mask = jax.lax.dynamic_update_slice_in_dim(
@@ -232,7 +253,8 @@ def sample_caption_cached(decoder: CaptionDecoder, params, image_feats, rng,
                           *, bos_id: int, eos_id: int, pad_id: int,
                           max_len: int = 30, min_len: int = 10,
                           top_p: float = 0.9,
-                          repetition_penalty: float = 1.1) -> jnp.ndarray:
+                          repetition_penalty: float = 1.1,
+                          prompt_ids: tuple = ()) -> jnp.ndarray:
     """KV-cached nucleus-sampling decode — the reference BLIP_Decoder's
     ``generate(sample=True)`` mode (blip.py:128-151: do_sample with
     top_p=0.9, repetition_penalty=1.1, min_length=10, eos = [SEP]).
@@ -241,16 +263,25 @@ def sample_caption_cached(decoder: CaptionDecoder, params, image_feats, rng,
     penalty over the tokens emitted so far, bans eos below ``min_len``,
     nucleus-filters in sorted space (HF shift-right semantics) and draws one
     token with ``jax.random.categorical``. Deterministic in ``rng``.
+
+    prompt_ids: optional conditioning prefix, the wordpiece ids of the
+    reference's ``prompt`` AFTER its leading token is replaced by bos and
+    the trailing [SEP] dropped (blip.py:119-127 tokenizes 'a picture of ').
+    The output rows start [bos, *prompt_ids, generated...]; HF's cur_len
+    accounting (min_length, repetition penalty over the prompt) is matched.
+    Default () decodes from bos alone.
     """
     decode = _cached_sample_decode(decoder, image_feats.shape[0], bos_id,
                                    eos_id, pad_id, max_len, min_len,
-                                   top_p, repetition_penalty)
+                                   top_p, repetition_penalty,
+                                   tuple(prompt_ids))
     return decode(params, image_feats, rng)
 
 
 def greedy_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
                           bos_id: int, eos_id: int, pad_id: int,
-                          max_len: int = 20) -> jnp.ndarray:
+                          max_len: int = 20,
+                          prompt_ids: tuple = ()) -> jnp.ndarray:
     """KV-cached greedy decode, output-identical to ``greedy_caption``.
 
     The whole decode is ONE jitted ``lax.scan`` over steps: image cross-attn
@@ -258,23 +289,35 @@ def greedy_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
     appends its self-attn K/V — O(T) attention instead of O(T^2) full-prefix
     recompute, and a single device program for the entire caption (memoized
     across calls).
+
+    prompt_ids: optional conditioning prefix after bos (see
+    ``sample_caption_cached``).
     """
     decode = _cached_greedy_decode(decoder, image_feats.shape[0], bos_id,
-                                   eos_id, pad_id, max_len)
+                                   eos_id, pad_id, max_len,
+                                   tuple(prompt_ids))
     return decode(params, image_feats)
 
 
 def beam_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
                         bos_id: int, eos_id: int, pad_id: int,
                         max_len: int = 20, num_beams: int = 3,
-                        length_penalty: float = 1.0):
+                        length_penalty: float = 1.0,
+                        prompt_ids: tuple = ()):
     """KV-cached beam search, output-identical to ``beam_caption``.
 
     Host loop over steps (beam bookkeeping), one-token jitted forward per
     step; beam reordering gathers the self-attn caches along the beam axis.
+
+    prompt_ids: optional conditioning prefix after bos (see
+    ``sample_caption_cached``); prompt steps only fill the K/V caches, the
+    beam bookkeeping starts at the first generated position.
     """
     b = image_feats.shape[0]
     nb = num_beams
+    prefix = _prompt_prefix(bos_id, tuple(prompt_ids))
+    p = int(prefix.shape[0])
+    assert p < max_len, "prompt must be shorter than max_len"
     feats = jnp.repeat(image_feats, nb, axis=0)          # [B*nb, M, W]
 
     key = (id(decoder), "beam_fns")
@@ -297,16 +340,18 @@ def beam_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
     img_kv = prep(params, feats)
     k_self, v_self = _self_cache(decoder, b * nb, max_len)
     vocab = decoder.cfg.text.vocab_size
-    ids = jnp.full((b * nb, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
-    mask = jnp.zeros((b * nb, max_len), jnp.int32).at[:, 0].set(1)
+    ids = jnp.full((b * nb, max_len), pad_id, jnp.int32).at[:, :p].set(prefix)
+    mask = jnp.zeros((b * nb, max_len), jnp.int32).at[:, :p].set(1)
     scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (nb - 1)), b)
     finished = jnp.zeros((b * nb,), bool)
-    lengths = jnp.ones((b * nb,), jnp.int32)
+    lengths = jnp.full((b * nb,), p, jnp.int32)
 
     for t in range(max_len - 1):
         tok = ids[:, t:t + 1]
         lp, (k_self, v_self) = step_logprobs(params, img_kv, tok, mask,
                                              k_self, v_self, t)
+        if t + 1 < p:  # prompt step: only the K/V cache write matters
+            continue
         frozen = jnp.full((b * nb, vocab), -1e9).at[:, pad_id].set(0.0)
         lp = jnp.where(finished[:, None], frozen, lp)
         cand = (scores[:, None] + lp).reshape(b, nb * vocab)
@@ -335,16 +380,23 @@ def beam_caption_cached(decoder: CaptionDecoder, params, image_feats, *,
 
 def beam_caption(decoder: CaptionDecoder, params, image_feats, *,
                  bos_id: int, eos_id: int, pad_id: int, max_len: int = 20,
-                 num_beams: int = 3, length_penalty: float = 1.0):
+                 num_beams: int = 3, length_penalty: float = 1.0,
+                 prompt_ids: tuple = ()):
     """Beam-search decode [B, max_len] (the reference BLIP_Decoder's default
     generation mode, blip.py:119-135, uses beam search with 3 beams).
 
     Host loop over steps, one jitted scorer over the flattened [B*beams]
     prefix buffer per step; finished beams are frozen with zero-logprob
     continuation and ranked by length-normalized score at the end.
+
+    prompt_ids: optional conditioning prefix after bos (see
+    ``sample_caption_cached``).
     """
     b = image_feats.shape[0]
     nb = num_beams
+    prefix = _prompt_prefix(bos_id, tuple(prompt_ids))
+    p = int(prefix.shape[0])
+    assert p < max_len, "prompt must be shorter than max_len"
     feats = jnp.repeat(image_feats, nb, axis=0)          # [B*nb, M, W]
 
     @jax.jit
@@ -354,14 +406,14 @@ def beam_caption(decoder: CaptionDecoder, params, image_feats, *,
         return jax.nn.log_softmax(logits[:, t], axis=-1)  # [B*nb, V]
 
     vocab = decoder.cfg.text.vocab_size
-    ids = jnp.full((b * nb, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
-    mask = jnp.zeros((b * nb, max_len), jnp.int32).at[:, 0].set(1)
+    ids = jnp.full((b * nb, max_len), pad_id, jnp.int32).at[:, :p].set(prefix)
+    mask = jnp.zeros((b * nb, max_len), jnp.int32).at[:, :p].set(1)
     # only beam 0 alive initially so identical beams don't multiply
     scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (nb - 1)), b)
     finished = jnp.zeros((b * nb,), bool)
-    lengths = jnp.ones((b * nb,), jnp.int32)
+    lengths = jnp.full((b * nb,), p, jnp.int32)
 
-    for t in range(max_len - 1):
+    for t in range(p - 1, max_len - 1):
         lp = step_logprobs(ids, mask, t)                  # [B*nb, V]
         # frozen beams contribute exactly one continuation (pad, logp 0)
         frozen = jnp.full((b * nb, vocab), -1e9).at[:, pad_id].set(0.0)
@@ -391,13 +443,20 @@ def beam_caption(decoder: CaptionDecoder, params, image_feats, *,
 
 def greedy_caption(decoder: CaptionDecoder, params, image_feats, *,
                    bos_id: int, eos_id: int, pad_id: int,
-                   max_len: int = 20) -> jnp.ndarray:
+                   max_len: int = 20,
+                   prompt_ids: tuple = ()) -> jnp.ndarray:
     """Greedy decode [B, max_len] token ids (bos included, pad after eos).
 
     One jitted step function over a fixed-length buffer; the causal mask makes
     positions > t irrelevant to the logits at t.
+
+    prompt_ids: optional conditioning prefix after bos (see
+    ``sample_caption_cached``).
     """
     b = image_feats.shape[0]
+    prefix = _prompt_prefix(bos_id, tuple(prompt_ids))
+    p = int(prefix.shape[0])
+    assert p < max_len, "prompt must be shorter than max_len"
 
     @jax.jit
     def step(ids, mask, t):
@@ -406,11 +465,11 @@ def greedy_caption(decoder: CaptionDecoder, params, image_feats, *,
         return jnp.argmax(logits[:, t], axis=-1)
 
     ids = jnp.full((b, max_len), pad_id, jnp.int32)
-    ids = ids.at[:, 0].set(bos_id)
-    mask = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(1)
+    ids = ids.at[:, :p].set(prefix)
+    mask = jnp.zeros((b, max_len), jnp.int32).at[:, :p].set(1)
     finished = jnp.zeros((b,), bool)
 
-    for t in range(max_len - 1):
+    for t in range(p - 1, max_len - 1):
         nxt = step(ids, mask, t)
         nxt = jnp.where(finished, pad_id, nxt)
         ids = ids.at[:, t + 1].set(nxt)

@@ -194,6 +194,11 @@ class MultiHeadAttention(nn.Module):
                           and attention runs over the updated cache. Returns
                           (out, (new_k_cache, new_v_cache)).
         """
+        # caller intent, not object identity: every self-attention call site
+        # passes y=None (med/vit/dual_encoder), so a caller handing in a
+        # distinct array that happens to EQUAL x is still routed as cross —
+        # the kernel-choice heuristic below keys off this flag
+        is_cross = y is not None
         y = x if y is None else y
         # Head-folded fast path: projections stay in matmul-native
         # [..., H*D] layout end-to-end and the folded Pallas kernel slices
@@ -234,7 +239,7 @@ class MultiHeadAttention(nn.Module):
                 # stays unfolded: its cost is below timing resolution either
                 # way and the lane slicing has no K/V win to amortize.
                 folded = (x.shape[-2] >= 128
-                          or (y is not x and y.shape[-2] >= 128))
+                          or (is_cross and y.shape[-2] >= 128))
         if folded:
             from candidate_reranking_cir_tpu.ops.attention import (
                 dot_product_attention_folded,

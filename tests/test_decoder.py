@@ -13,6 +13,7 @@ from candidate_reranking_cir_tpu.models.blip_decoder import (
     greedy_caption,
 )
 from candidate_reranking_cir_tpu.models.med import TextEncoder
+import pytest
 
 CFG = RetrievalModelConfig(
     vit=ViTConfig(image_size=16, patch_size=8, hidden_size=24, num_layers=1,
@@ -24,6 +25,7 @@ CFG = RetrievalModelConfig(
     text_len=8)
 
 
+@pytest.mark.slow
 def test_causal_mask_prefix_invariance():
     """With causal masking, logits at position t must not depend on tokens
     after t."""
@@ -45,6 +47,7 @@ def test_causal_mask_prefix_invariance():
     assert np.abs(np.asarray(g1[:, 0]) - np.asarray(g2[:, 0])).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_greedy_caption_shapes_and_eos():
     model = CaptionDecoder(CFG)
     rng = np.random.default_rng(1)
@@ -70,6 +73,7 @@ def test_greedy_caption_shapes_and_eos():
             assert (row[hits[0] + 1:] == 0).all()
 
 
+@pytest.mark.slow
 def test_beam_caption_matches_greedy_at_one_beam():
     from candidate_reranking_cir_tpu.models.blip_decoder import beam_caption
 
@@ -89,6 +93,7 @@ def test_beam_caption_matches_greedy_at_one_beam():
     np.testing.assert_array_equal(np.asarray(g), np.asarray(b1))
 
 
+@pytest.mark.slow
 def test_beam_caption_structure():
     from candidate_reranking_cir_tpu.models.blip_decoder import beam_caption
 
@@ -111,6 +116,7 @@ def test_beam_caption_structure():
             assert (row[hits[0] + 1:] == 0).all()
 
 
+@pytest.mark.slow
 def test_cached_greedy_matches_recompute():
     """KV-cache decode == full-prefix recompute decode, token-for-token."""
     from candidate_reranking_cir_tpu.models.blip_decoder import (
@@ -133,6 +139,7 @@ def test_cached_greedy_matches_recompute():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_cached_beam_matches_recompute():
     from candidate_reranking_cir_tpu.models.blip_decoder import (
         beam_caption,
@@ -156,6 +163,60 @@ def test_cached_beam_matches_recompute():
                                              eos_id=3, pad_id=0, max_len=7,
                                              num_beams=nb))
         np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.slow
+def test_prompt_conditioning_all_decoders():
+    """prompt_ids conditioning (the reference's 'a picture of ' prefix,
+    blip.py:119-127): every decode path emits [bos, *prompt, ...] rows, the
+    cached paths stay token-identical to their recompute twins, and the
+    prompt actually changes what gets generated."""
+    from candidate_reranking_cir_tpu.models.blip_decoder import (
+        beam_caption,
+        beam_caption_cached,
+        greedy_caption_cached,
+        sample_caption_cached,
+    )
+
+    model = CaptionDecoder(CFG)
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    ids = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.key(12), images, ids, ids)
+    feats = model.apply(params, images,
+                        method=lambda m, im: m.visual_encoder(im))
+
+    prompt = (7, 11, 5)
+    kw = dict(bos_id=2, eos_id=3, pad_id=0, max_len=9)
+    g = np.asarray(greedy_caption(model, params, feats, prompt_ids=prompt,
+                                  **kw))
+    gc = np.asarray(greedy_caption_cached(model, params, feats,
+                                          prompt_ids=prompt, **kw))
+    np.testing.assert_array_equal(g, gc)
+    np.testing.assert_array_equal(g[:, :4], [[2, 7, 11, 5]] * 2)
+    g0 = np.asarray(greedy_caption(model, params, feats, **kw))
+    assert not np.array_equal(g, g0)  # conditioning changes the caption
+
+    for nb in (1, 3):
+        b = np.asarray(beam_caption(model, params, feats, prompt_ids=prompt,
+                                    num_beams=nb, **kw))
+        bc = np.asarray(beam_caption_cached(model, params, feats,
+                                            prompt_ids=prompt, num_beams=nb,
+                                            **kw))
+        np.testing.assert_array_equal(b, bc)
+        np.testing.assert_array_equal(b[:, :4], [[2, 7, 11, 5]] * 2)
+    # beam-1 == greedy under the same prompt
+    b1 = np.asarray(beam_caption(model, params, feats, prompt_ids=prompt,
+                                 num_beams=1, **kw))
+    np.testing.assert_array_equal(b1, g)
+
+    s = np.asarray(sample_caption_cached(model, params, feats,
+                                         jax.random.key(3), min_len=6,
+                                         prompt_ids=prompt, **kw))
+    np.testing.assert_array_equal(s[:, :4], [[2, 7, 11, 5]] * 2)
+    # min_len counts the prompt (HF cur_len): eos banned before position 6
+    for row in s:
+        assert not (row[:5] == 3).any()
 
 
 def test_top_p_filter_hand_checked():
@@ -198,6 +259,7 @@ def test_repetition_penalty_hand_checked():
     np.testing.assert_allclose(out, np.asarray(logits))
 
 
+@pytest.mark.slow
 def test_sample_caption_cached_structure():
     """Nucleus decode: bos prefix, min_len eos ban, pad-after-eos, and
     determinism in the PRNG key (reference blip.py:128-151 semantics)."""
