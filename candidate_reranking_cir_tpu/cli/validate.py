@@ -54,6 +54,12 @@ def main(argv=None):
                         help="disable the reference-image-major fusion "
                              "scheduler (identical math; for debugging / "
                              "A-B timing)")
+    parser.add_argument("--single-program", action="store_true",
+                        help="run the ENTIRE evaluation (corpus embed + "
+                             "fusion + ranking) as one device program — "
+                             "fastest when per-launch submission latency is "
+                             "visible; needs the full image stack in host "
+                             "memory; single-device only")
     args = parser.parse_args(argv)
 
     tokenizer = get_tokenizer(args)  # cheap fail-fast before ckpt IO
@@ -61,6 +67,8 @@ def main(argv=None):
     params = load_params(args.stage1_path, 1, cfg)
     transform = get_transform(args)
     mesh = get_mesh(args)
+    if args.single_program and mesh is not None:
+        parser.error("--single-program is single-device (drop --mesh)")
     k = args.k if args.save_topk else None
 
     if args.dataset.lower() == "cirr":
@@ -74,7 +82,8 @@ def main(argv=None):
             model, params, classic, relative, tokenizer,
             text_len=args.text_len, batch_size=args.batch_size,
             save_topk_k=k, mesh=mesh, q_batch=args.q_batch,
-            image_major=not args.query_major_fusion)
+            image_major=not args.query_major_fusion,
+            single_program=args.single_program)
         print_metrics(result.metrics)
         if payload is not None:
             out = args.topk_out or f"cirr_top_{args.k}_{split}.npz"
@@ -98,7 +107,8 @@ def main(argv=None):
                 text_len=args.text_len, batch_size=args.batch_size,
                 save_topk_k=k, dress_types=[dress], mesh=mesh,
                 q_batch=args.q_batch,
-                image_major=not args.query_major_fusion)
+                image_major=not args.query_major_fusion,
+                single_program=args.single_program)
             print(f"\n[{dress}]")
             print_metrics(result.metrics)
             r10s.append(result.metrics["recall_at10"])

@@ -23,7 +23,10 @@ import numpy as np
 from candidate_reranking_cir_tpu.data.captions import compose_fiq_eval
 from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
 from candidate_reranking_cir_tpu.retrieval import metrics as M
-from candidate_reranking_cir_tpu.retrieval.index import build_index
+from candidate_reranking_cir_tpu.retrieval.index import (
+    build_index,
+    iter_batches,
+)
 from candidate_reranking_cir_tpu.retrieval.topk_writer import topk_payload
 
 
@@ -109,6 +112,106 @@ def make_embed_scan(model: RetrievalModel, params):
     return embed_scan
 
 
+def schedule_fusion_batches(ref_idx: np.ndarray, bucket_of: np.ndarray,
+                            q_batch: int, image_major: bool,
+                            n_dev: int = 1) -> list[tuple]:
+    """Decompose the query set into fixed-shape fusion batches.
+
+    Returns a list of (query_group, width, rows, refs_rows, count):
+    rows [G*Q] original query rows (image-contiguous; the tail may repeat
+    rows already in the batch), refs_rows [G] corpus indices, count = number
+    of REAL rows. Shared by every executor (per-batch dispatch, scan groups,
+    the single-program eval) so the image-major decomposition and its
+    padding invariants live in exactly one place.
+
+    image_major: queries sharing a reference image are grouped with
+    ``query_group`` in (8, 4, 2) via power-of-2 chunk decomposition
+    (5 queries -> 4 + 1; never a padding query); leftovers go query-major.
+    Batches within a family are ordered by padded width so narrow ones can
+    run narrow.
+    """
+    batches: list[tuple] = []
+
+    def emit_batch(rows, refs_rows, width, query_group, count):
+        if __debug__ and count < len(rows):
+            # no executor slices padded tails off (that would cost a launch
+            # per batch) — correctness rests on every padded row being an
+            # exact duplicate (same row, same ref) of a REAL row in this
+            # batch. Guard the invariant at the single point every executor
+            # shares, so a future scheduler edit that pads differently fails
+            # loudly instead of silently emitting wrong features (ADVICE r4).
+            real = {(int(rows[j]), int(refs_rows[j // query_group]))
+                    for j in range(count)}
+            pad = {(int(rows[j]), int(refs_rows[j // query_group]))
+                   for j in range(count, len(rows))}
+            assert pad <= real, (
+                "padded tail rows are not duplicates of real rows: "
+                f"{sorted(pad - real)[:4]}")
+        batches.append((query_group, width, np.asarray(rows, np.int64),
+                        np.asarray(refs_rows, np.int32), count))
+
+    if image_major:
+        group_sizes = [q for q in (8, 4, 2)
+                       if q <= q_batch and (q_batch // q) % n_dev == 0]
+    if image_major and group_sizes:
+        by_img: dict[int, list[int]] = {}
+        for row, r in enumerate(ref_idx):
+            by_img.setdefault(int(r), []).append(row)
+        chunks: dict[int, list[tuple[int, list[int]]]] = {}
+        leftover = []
+        for r, rows in by_img.items():
+            rows.sort(key=lambda i: bucket_of[i])  # L-homogeneous chunks
+            i, c = 0, len(rows)
+            for q in group_sizes:
+                while c >= q:
+                    chunks.setdefault(q, []).append((r, rows[i:i + q]))
+                    i += q
+                    c -= q
+            leftover.extend(rows[i:])
+        singles = np.asarray(sorted(leftover, key=lambda i: bucket_of[i]),
+                             np.int64)
+
+        for q, chs in sorted(chunks.items(), reverse=True):
+            # narrow batches: order chunks by their padded width
+            chs.sort(key=lambda ch: int(bucket_of[ch[1]].max()))
+            g = max(q_batch // q, 1)
+            for start in range(0, len(chs), g):
+                batch = chs[start:start + g]
+                count = len(batch) * q
+                if len(batch) < g:  # pad with repeats of the first chunk
+                    batch = batch + [batch[0]] * (g - len(batch))
+                rows = np.asarray([i for _, ch in batch for i in ch],
+                                  np.int64)
+                refs_rows = np.asarray([r for r, _ in batch], np.int32)
+                width = int(bucket_of[rows[:count]].max())
+                emit_batch(rows, refs_rows, width, q, count)
+    else:
+        singles = np.argsort(bucket_of, kind="stable")
+
+    for start in range(0, len(singles), q_batch):
+        rows = singles[start:start + q_batch]
+        count = len(rows)
+        width = int(bucket_of[rows].max())
+        if count < q_batch:  # pad the tail with repeats
+            rows = np.concatenate(
+                [rows, np.repeat(rows[:1], q_batch - count)])
+        emit_batch(rows, ref_idx[rows], width, 1, count)
+    return batches
+
+
+def resolve_buckets(tokenizer, captions, text_len: int, l_buckets):
+    """Tokenize and assign each caption to its static L-bucket. Returns
+    (ids_all [N, text_len], mask_all [N, text_len], bucket_of [N])."""
+    from candidate_reranking_cir_tpu.retrieval.rerank import resolve_l_buckets
+
+    ids_all, mask_all = tokenizer.encode(captions, text_len,
+                                         set_enc_token=True)
+    lens = mask_all.sum(axis=1)
+    lbs = resolve_l_buckets(l_buckets, lens, text_len)
+    bucket_of = np.asarray([next(b for b in lbs if b >= ln) for ln in lens])
+    return ids_all, mask_all, bucket_of
+
+
 def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
                     index_feats, index_names, text_len: int,
                     q_batch: int = 32, mesh=None,
@@ -150,20 +253,15 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
         batch_sharding,
         fit_mesh,
     )
-    from candidate_reranking_cir_tpu.retrieval.rerank import resolve_l_buckets
 
     mesh = fit_mesh(mesh, q_batch)
     pos = {n: i for i, n in enumerate(index_names)}
     ref_idx = np.asarray([pos[r] for r in ref_names], np.int32)
-    ids_all, mask_all = tokenizer.encode(captions, text_len,
-                                         set_enc_token=True)
     n = len(captions)
     if n == 0:
         return np.empty((n, 0), np.float32)
-
-    lens = mask_all.sum(axis=1)
-    lbs = resolve_l_buckets(l_buckets, lens, text_len)
-    bucket_of = np.asarray([next(b for b in lbs if b >= ln) for ln in lens])
+    ids_all, mask_all, bucket_of = resolve_buckets(tokenizer, captions,
+                                                   text_len, l_buckets)
 
     preds = []       # device arrays, scheduling order
     sched_rows = []  # original row index of each emitted pred row
@@ -177,7 +275,8 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
 
     def dispatch(rows, refs_rows, width, query_group, count):
         """rows: [G*Q] original query rows, image-contiguous (tail padded
-        with repeats of rows already in the batch); refs_rows: [G] corpus
+        with repeats of rows already in the batch — duplicate-invariant
+        guarded in schedule_fusion_batches); refs_rows: [G] corpus
         indices; count: number of REAL rows. Keeps results ON DEVICE and
         defers all fetches (a per-batch np.asarray would sync every
         dispatch, serializing compute with the relay RTT)."""
@@ -203,8 +302,9 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
         (query_group, width) shape family, leftovers as direct calls.
         Padded tail rows are NOT sliced off per batch (that would cost one
         launch each); they are exact duplicates of real rows in the same
-        batch (identical refs + ids), so the inverse permutation below can
-        safely resolve a row to any of its copies."""
+        batch (identical refs + ids — schedule_fusion_batches guards this),
+        so the inverse permutation below can safely resolve a row to any of
+        its copies."""
         for (q, width), batches in pending.items():
             i, nb = 0, len(batches)
             while nb - i >= 2:
@@ -228,62 +328,121 @@ def predict_queries(fuse_fn, tokenizer, captions: list[str], ref_names,
                 sched_rows.extend(rows.tolist())
 
     n_dev = mesh.devices.size if mesh is not None else 1
-    if image_major:
-        group_sizes = [q for q in (8, 4, 2)
-                       if q <= q_batch and (q_batch // q) % n_dev == 0]
-    if image_major and group_sizes:
-        by_img: dict[int, list[int]] = {}
-        for row, r in enumerate(ref_idx):
-            by_img.setdefault(int(r), []).append(row)
-        chunks: dict[int, list[tuple[int, list[int]]]] = {}
-        leftover = []
-        for r, rows in by_img.items():
-            rows.sort(key=lambda i: bucket_of[i])  # L-homogeneous chunks
-            i, c = 0, len(rows)
-            for q in group_sizes:
-                while c >= q:
-                    chunks.setdefault(q, []).append((r, rows[i:i + q]))
-                    i += q
-                    c -= q
-            leftover.extend(rows[i:])
-        singles = np.asarray(sorted(leftover, key=lambda i: bucket_of[i]),
-                             np.int64)
-
-        for q, chs in sorted(chunks.items(), reverse=True):
-            # narrow batches: order chunks by their padded width
-            chs.sort(key=lambda ch: int(bucket_of[ch[1]].max()))
-            g = max(q_batch // q, 1)
-            for start in range(0, len(chs), g):
-                batch = chs[start:start + g]
-                count = len(batch) * q
-                if len(batch) < g:  # pad with repeats of the first chunk
-                    batch = batch + [batch[0]] * (g - len(batch))
-                rows = np.asarray([i for _, ch in batch for i in ch],
-                                  np.int64)
-                refs_rows = np.asarray([r for r, _ in batch], np.int32)
-                width = int(bucket_of[rows[:count]].max())
-                dispatch(rows, refs_rows, width, q, count)
-    else:
-        singles = np.argsort(bucket_of, kind="stable")
-
-    for start in range(0, len(singles), q_batch):
-        rows = singles[start:start + q_batch]
-        count = len(rows)
-        width = int(bucket_of[rows].max())
-        if count < q_batch:  # pad the tail with repeats
-            rows = np.concatenate(
-                [rows, np.repeat(rows[:1], q_batch - count)])
-        dispatch(rows, ref_idx[rows], width, 1, count)
+    for q, width, rows, refs_rows, count in schedule_fusion_batches(
+            ref_idx, bucket_of, q_batch, image_major, n_dev):
+        dispatch(rows, refs_rows, width, q, count)
 
     flush_pending()
     grouped = jnp.concatenate(preds) if len(preds) > 1 else preds[0]
     grouped = grouped.astype(jnp.float32)
     # scheduled rows may contain duplicates (batch-tail padding on the scan
     # path); every duplicate carries an identical prediction, so the last
-    # write wins harmlessly
-    inv = np.empty(n, np.int64)
+    # write wins harmlessly. Coverage check: a scheduler bug that dropped a
+    # row would otherwise leave a garbage index here and silently corrupt
+    # every downstream ranking (ADVICE r4).
+    inv = np.full(n, -1, np.int64)
     inv[np.asarray(sched_rows, np.int64)] = np.arange(len(sched_rows))
+    missing = np.flatnonzero(inv < 0)
+    assert missing.size == 0, (
+        f"fusion scheduler dropped {missing.size} quer(ies): "
+        f"rows {missing[:8].tolist()}...")
     return jnp.take(grouped, jnp.asarray(inv), axis=0)
+
+
+def build_fusion_plan(batches: list[tuple], ids_all: np.ndarray,
+                      mask_all: np.ndarray) -> tuple[tuple, np.ndarray]:
+    """Stack scheduler batches into per-(query_group, width) families for a
+    scan-per-family executor (the single-program eval).
+
+    Returns (fams, inv): fams is a tuple of (refs [nb, G] int32,
+    ids [nb, B, w] int32, mask [nb, B, w] int32) — query_group is recovered
+    from the shapes as B // G — and inv [N_q] maps each original query row
+    to its position in the concatenation of all family outputs flattened in
+    family-then-batch order (padded duplicate rows resolve to any copy).
+    """
+    fam: dict[tuple[int, int], list] = {}
+    for q, width, rows, refs_rows, count in batches:
+        fam.setdefault((q, width), []).append((rows, refs_rows))
+
+    fams, sched_rows = [], []
+    for (q, width), entries in fam.items():
+        rows_m = np.stack([e[0] for e in entries])          # [nb, B]
+        refs_m = np.stack([e[1] for e in entries])          # [nb, G]
+        fams.append((jnp.asarray(refs_m, jnp.int32),
+                     jnp.asarray(ids_all[rows_m][..., :width], jnp.int32),
+                     jnp.asarray(mask_all[rows_m][..., :width], jnp.int32)))
+        sched_rows.extend(rows_m.reshape(-1).tolist())
+
+    n = ids_all.shape[0]
+    inv = np.full(n, -1, np.int64)
+    inv[np.asarray(sched_rows, np.int64)] = np.arange(len(sched_rows))
+    missing = np.flatnonzero(inv < 0)
+    assert missing.size == 0, (
+        f"fusion scheduler dropped {missing.size} quer(ies): "
+        f"rows {missing[:8].tolist()}...")
+    return tuple(fams), inv
+
+
+_SINGLE_PROGRAM_CACHE: dict = {}
+
+
+def make_single_program_eval(model: RetrievalModel):
+    """ONE device program for the whole stage-I eval: corpus embed scan +
+    every fusion family scan + full ranking / truncated top-k.
+
+    The multi-launch path pays a ~10-15 ms submission gap per launch through
+    the remote-execution relay (~12 launches at CIRR-val scale = 0.12-0.18 s
+    of device idle, BASELINE.md r4); a v5e has ONE TensorCore, so embed and
+    fusion cannot actually run concurrently — the only removable cost is
+    that launch-gap exposure, and folding the entire evaluation into a
+    single jitted program removes every gap at once (and is the lowest-host-
+    overhead shape on local hardware too). Compiles once per (corpus size,
+    family structure) — i.e. per dataset; prefer the multi-program
+    ``predict_queries`` path when corpora change shape often or images must
+    stream from host batch-by-batch.
+
+    Returns run(params, imgs, fams, inv, ent, n_idx, width):
+      imgs [n_chunks, chunk, H, W, 3] — device-resident corpus images,
+      fams/inv from build_fusion_plan, ent [N_q, E] entity columns,
+      n_idx/width static. -> (topk [N_q, width] int16/32, ranks [N_q, E]).
+    """
+    key = id(model)
+    if key in _SINGLE_PROGRAM_CACHE:
+        return _SINGLE_PROGRAM_CACHE[key]
+
+    @partial(jax.jit, static_argnames=("n_idx", "width"))
+    def run(p, imgs, fams, inv, ent, n_idx, width):
+        def ebody(c, xc):
+            return c, model.apply(p, xc, pool_and_normalize=True,
+                                  method=RetrievalModel.embed_images)
+
+        _, (raw, pooled) = jax.lax.scan(ebody, 0.0, imgs)
+        # bfloat16 bank, matching build_index's feature_dtype default (so
+        # both executors fuse from bit-identical reference features)
+        bank = raw.reshape(-1, *raw.shape[2:])[:n_idx].astype(jnp.bfloat16)
+        pooled = pooled.reshape(-1, pooled.shape[-1])[:n_idx]
+
+        preds = []
+        for refs, ids, msk in fams:
+            q = ids.shape[1] // refs.shape[1]
+
+            def fbody(c, xs, q=q):
+                ri, i, m = xs
+                r = jnp.take(bank, ri, axis=0)
+                pred = model.apply(p, r, i, m, query_group=q,
+                                   method=RetrievalModel.fuse)
+                return c, pred
+
+            _, out = jax.lax.scan(fbody, 0.0, (refs, ids, msk))
+            preds.append(out.reshape(-1, out.shape[-1]).astype(jnp.float32))
+        pred = jnp.concatenate(preds) if len(preds) > 1 else preds[0]
+        pred = jnp.take(pred, inv, axis=0)
+        return _ranked_body(pred, pooled.astype(jnp.float32), ent, width)
+
+    if len(_SINGLE_PROGRAM_CACHE) > 8:
+        _SINGLE_PROGRAM_CACHE.clear()
+    _SINGLE_PROGRAM_CACHE[key] = run
+    return run
 
 
 # module-level jits: defining these inside their callers would create a fresh
@@ -296,8 +455,7 @@ def _full_rank(p, idx):
                        axis=-1, stable=True)
 
 
-@partial(jax.jit, static_argnames="w")
-def _ranked(p, idx, e, w):
+def _ranked_body(p, idx, e, w):
     dist = 1.0 - jnp.einsum("qe,ne->qn", p.astype(jnp.float32), idx)
     # lax.top_k == stable ascending argsort truncated at w (both break
     # ties by lowest index); measured equal speed at CIRR-val scale
@@ -311,6 +469,11 @@ def _ranked(p, idx, e, w):
     if idx.shape[0] < 2**15:  # indices fit int16: halves the topk D2H
         topk = topk.astype(jnp.int16)  # (relay ~29 MB/s; 8.4 MB at CIRR-val)
     return topk, less + ties
+
+
+@partial(jax.jit, static_argnames="w")
+def _ranked(p, idx, e, w):
+    return _ranked_body(p, idx, e, w)
 
 
 def full_ranking(pred: np.ndarray, pooled_index, mesh=None) -> np.ndarray:
@@ -396,19 +559,60 @@ def ranked_slices(pred, pooled_index, width: int,
     return topk, (ranks if entity_idx is not None else None)
 
 
+def run_single_program_eval(model, params, dataset_classic, tokenizer,
+                            captions: list[str], ref_names: list[str],
+                            ent_names: list[list[str]], *, text_len: int,
+                            batch_size: int = 32, q_batch: int = 256,
+                            image_major: bool = True, width: int = 501,
+                            l_buckets="auto") -> tuple:
+    """Single-program stage-I eval executor (see make_single_program_eval):
+    loads the whole classic corpus to device, then runs embed + fusion +
+    ranking as ONE launch. Returns (topk [N_q, w] int32 np, ranks np,
+    index_names). Single-device only (no mesh)."""
+    names_all, chunk_arrays = [], []
+    for names, images in iter_batches(dataset_classic, batch_size):
+        if len(names) < batch_size:  # pad to the compiled chunk shape
+            pad = np.zeros((batch_size - len(names), *images.shape[1:]),
+                           images.dtype)
+            images = np.concatenate([images, pad])
+        chunk_arrays.append(images)
+        names_all.extend(names)
+    imgs = jnp.asarray(np.stack(chunk_arrays))
+    n_idx = len(names_all)
+
+    pos = {nm: i for i, nm in enumerate(names_all)}
+    ref_idx = np.asarray([pos[r] for r in ref_names], np.int32)
+    ids_all, mask_all, bucket_of = resolve_buckets(tokenizer, captions,
+                                                   text_len, l_buckets)
+    batches = schedule_fusion_batches(ref_idx, bucket_of, q_batch,
+                                      image_major)
+    fams, inv = build_fusion_plan(batches, ids_all, mask_all)
+    ent = np.asarray([[pos[nm] for nm in row] for row in ent_names],
+                     np.int32)
+
+    run = make_single_program_eval(model)
+    topk, ranks = run(params, imgs, fams, jnp.asarray(inv),
+                      jnp.asarray(ent), n_idx=n_idx,
+                      width=min(width, n_idx))
+    return (np.asarray(topk).astype(np.int32, copy=False),
+            np.asarray(ranks), names_all)
+
+
 def evaluate_cirr_stage1(model, params, dataset_classic, dataset_relative,
                          tokenizer, *, text_len: int, batch_size: int = 32,
                          save_topk_k: int | None = None, mesh=None,
                          image_major: bool = True,
-                         q_batch: int = 256) -> tuple:
+                         q_batch: int = 256,
+                         single_program: bool = False) -> tuple:
     """batch_size drives the ViT index embed (throughput peaks at small
     batch, tools/t_vit_sweep.py); q_batch drives the fusion scheduler
     (peaks at LARGE batch — 256 measured 14% over 128, tools/t_fusion_trace
-    — so the two are deliberately decoupled)."""
-    embed, fuse = make_stage1_fns(model, params)
-    raw, pooled, index_names = build_index(dataset_classic, embed,
-                                           batch_size, pooled=True, mesh=mesh)
+    — so the two are deliberately decoupled).
 
+    single_program=True: the whole evaluation (embed + fusion + ranking)
+    runs as ONE device launch (make_single_program_eval) — fastest on rigs
+    where per-launch submission latency is visible; requires the full
+    corpus image stack in host memory and is single-device."""
     captions, refs, targets, groups = [], [], [], []
     for i in range(len(dataset_relative)):
         s = dataset_relative[i]
@@ -416,20 +620,34 @@ def evaluate_cirr_stage1(model, params, dataset_classic, dataset_relative,
         refs.append(s["reference_name"])
         targets.append(s["target_name"])
         groups.append(s["group_members"])
-
-    pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
-                           text_len, q_batch, mesh=mesh,
-                           image_major=image_major)
-    # device-side truncated ranking + exact entity ranks: metrics, subset
-    # metrics and the top-k artifact only consume the first ~max(500, k)
-    # columns, so the full [N_q, N_idx] order matrix never leaves the device
-    pos = {name: i for i, name in enumerate(index_names)}
     members = [[m for m in g if m != r][:5] for g, r in zip(groups, refs)]
-    ent = np.asarray(
-        [[pos[t], pos[r], *[pos[m] for m in row]]
-         for t, r, row in zip(targets, refs, members)], np.int32)
     width = max(501, (save_topk_k or 0) + 1)
-    topk_idx, ranks = ranked_slices(pred, pooled, width, ent, mesh=mesh)
+
+    if single_program:
+        assert mesh is None, "single_program eval is single-device"
+        ent_names = [[t, r, *row]
+                     for t, r, row in zip(targets, refs, members)]
+        topk_idx, ranks, index_names = run_single_program_eval(
+            model, params, dataset_classic, tokenizer, captions, refs,
+            ent_names, text_len=text_len, batch_size=batch_size,
+            q_batch=q_batch, image_major=image_major, width=width)
+    else:
+        embed, fuse = make_stage1_fns(model, params)
+        raw, pooled, index_names = build_index(dataset_classic, embed,
+                                               batch_size, pooled=True,
+                                               mesh=mesh)
+        pred = predict_queries(fuse, tokenizer, captions, refs, raw,
+                               index_names, text_len, q_batch, mesh=mesh,
+                               image_major=image_major)
+        # device-side truncated ranking + exact entity ranks: metrics,
+        # subset metrics and the top-k artifact only consume the first
+        # ~max(500, k) columns, so the full [N_q, N_idx] order matrix never
+        # leaves the device
+        pos = {name: i for i, name in enumerate(index_names)}
+        ent = np.asarray(
+            [[pos[t], pos[r], *[pos[m] for m in row]]
+             for t, r, row in zip(targets, refs, members)], np.int32)
+        topk_idx, ranks = ranked_slices(pred, pooled, width, ent, mesh=mesh)
     ranking = M.cirr_ranking_from_ranks(
         topk_idx, index_names, targets, members,
         target_ranks=ranks[:, 0], ref_ranks=ranks[:, 1],
@@ -448,11 +666,8 @@ def evaluate_fiq_stage1(model, params, dataset_classic, dataset_relative,
                         save_topk_k: int | None = None,
                         dress_types: list[str] | None = None,
                         mesh=None, image_major: bool = True,
-                        q_batch: int = 256) -> tuple:
-    embed, fuse = make_stage1_fns(model, params)
-    raw, pooled, index_names = build_index(dataset_classic, embed,
-                                           batch_size, pooled=True, mesh=mesh)
-
+                        q_batch: int = 256,
+                        single_program: bool = False) -> tuple:
     captions_pairs, refs, targets = [], [], []
     for i in range(len(dataset_relative)):
         s = dataset_relative[i]
@@ -460,14 +675,26 @@ def evaluate_fiq_stage1(model, params, dataset_classic, dataset_relative,
         refs.append(s["reference_name"])
         targets.append(s["target_name"])
     captions = compose_fiq_eval(captions_pairs)
-
-    pred = predict_queries(fuse, tokenizer, captions, refs, raw, index_names,
-                           text_len, q_batch, mesh=mesh,
-                           image_major=image_major)
-    pos = {name: i for i, name in enumerate(index_names)}
-    ent = np.asarray([[pos[t]] for t in targets], np.int32)
     width = max(501, (save_topk_k or 0) + 1)
-    topk_idx, ranks = ranked_slices(pred, pooled, width, ent, mesh=mesh)
+
+    if single_program:
+        assert mesh is None, "single_program eval is single-device"
+        topk_idx, ranks, index_names = run_single_program_eval(
+            model, params, dataset_classic, tokenizer, captions, refs,
+            [[t] for t in targets], text_len=text_len,
+            batch_size=batch_size, q_batch=q_batch,
+            image_major=image_major, width=width)
+    else:
+        embed, fuse = make_stage1_fns(model, params)
+        raw, pooled, index_names = build_index(dataset_classic, embed,
+                                               batch_size, pooled=True,
+                                               mesh=mesh)
+        pred = predict_queries(fuse, tokenizer, captions, refs, raw,
+                               index_names, text_len, q_batch, mesh=mesh,
+                               image_major=image_major)
+        pos = {name: i for i, name in enumerate(index_names)}
+        ent = np.asarray([[pos[t]] for t in targets], np.int32)
+        topk_idx, ranks = ranked_slices(pred, pooled, width, ent, mesh=mesh)
     ranking = M.fiq_ranking_from_ranks(topk_idx, index_names, targets,
                                        target_ranks=ranks[:, 0])
     mets = M.fiq_metrics(ranking)

@@ -162,6 +162,36 @@ def test_stage1_eval_and_topk_roundtrip(cirr_root, models, tokenizer,
                 == [str(x) for x in payload["sorted_index_names"][0]])
 
 
+@pytest.mark.slow
+def test_single_program_eval_matches_multi_program(cirr_root, models,
+                                                   tokenizer):
+    """evaluate_cirr_stage1(single_program=True) — the whole eval as ONE
+    device program (embed scan + fusion family scans + ranking) — must
+    reproduce the multi-launch path's metrics, ranking names and payload
+    exactly (same scheduler, same math, different executor)."""
+    s1, s1_params, _, _ = models
+    transform = make_transform("targetpad", IMG, 1.25)
+    classic = CIRRDataset(cirr_root, "val", "classic", transform)
+    relative = CIRRDataset(cirr_root, "val", "relative", transform)
+
+    kw = dict(text_len=10, batch_size=4, save_topk_k=8, q_batch=4)
+    res_multi, pay_multi = evaluate_cirr_stage1(
+        s1, s1_params, classic, relative, tokenizer, **kw)
+    res_single, pay_single = evaluate_cirr_stage1(
+        s1, s1_params, classic, relative, tokenizer, single_program=True,
+        **kw)
+
+    assert res_single.metrics == res_multi.metrics
+    np.testing.assert_array_equal(res_single.ranking.sorted_index_names,
+                                  res_multi.ranking.sorted_index_names)
+    np.testing.assert_array_equal(res_single.ranking.labels,
+                                  res_multi.ranking.labels)
+    np.testing.assert_array_equal(pay_single["sorted_index_names"],
+                                  pay_multi["sorted_index_names"])
+    np.testing.assert_array_equal(pay_single["labels"], pay_multi["labels"])
+
+
+@pytest.mark.slow
 def test_stage2_rerank_end_to_end(cirr_root, models, tokenizer, tmp_path):
     s1, s1_params, s2, s2_params = models
     transform = make_transform("targetpad", IMG, 1.25)
@@ -241,6 +271,7 @@ def test_stage2_rerank_end_to_end(cirr_root, models, tokenizer, tmp_path):
     np.testing.assert_array_equal(out_cm.order, out.order)
 
 
+@pytest.mark.slow
 def test_mesh_eval_matches_single_device(cirr_root, models, tokenizer,
                                          tmp_path):
     """Engine-level multi-chip wiring: stage-I and stage-II evaluation on the
@@ -284,6 +315,7 @@ def test_mesh_eval_matches_single_device(cirr_root, models, tokenizer,
         assert abs(mets_mesh[key] - val) < 1e-9, (key, mets_mesh[key], val)
 
 
+@pytest.mark.slow
 def test_sharded_index_eval_matches_replicated(cirr_root, models, tokenizer,
                                                tmp_path):
     """Corpus-sharded feature bank (build_index shard_index=True +
@@ -319,6 +351,7 @@ def test_sharded_index_eval_matches_replicated(cirr_root, models, tokenizer,
         assert abs(mets_shard[key] - val) < 1e-9, (key, mets_shard[key], val)
 
 
+@pytest.mark.slow
 def test_rerank_dedup_with_shrunk_mesh(cirr_root, models, tokenizer,
                                        tmp_path):
     """Regression: rerank(dedup=True) on a mesh that fit_mesh shrinks (q_batch
@@ -361,6 +394,7 @@ def test_rerank_dedup_with_shrunk_mesh(cirr_root, models, tokenizer,
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_candidate_major_fuzz_equals_query_major(models, tokenizer):
     """Randomized workloads (sizes, skips, group presence, duplicate
     candidates across queries): candidate-major scheduling must reproduce the
@@ -414,6 +448,7 @@ def test_candidate_major_fuzz_equals_query_major(models, tokenizer):
                                        rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_l_bucket_resolution():
     from candidate_reranking_cir_tpu.retrieval.rerank import resolve_l_buckets
 
@@ -429,6 +464,7 @@ def test_l_bucket_resolution():
     assert resolve_l_buckets((64,), lengths, 40) == [40]
 
 
+@pytest.mark.slow
 def test_l_bucketed_scores_match_single_bucket(models, tokenizer):
     """Mixed-length captions scored through narrow L-buckets equal the
     single-bucket scores: pad keys are masked additively (-10000 =>
@@ -470,6 +506,7 @@ def test_l_bucketed_scores_match_single_bucket(models, tokenizer):
     np.testing.assert_array_equal(out_bkt.order, out_one.order)
 
 
+@pytest.mark.slow
 def test_image_major_fusion_matches_query_major():
     """predict_queries(image_major=True) — reference-image-major K/V
     amortization with power-of-2 query chunks — must produce the same
@@ -528,6 +565,7 @@ def test_image_major_fusion_matches_query_major():
     np.testing.assert_allclose(out_im, out_qm, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_image_major_fusion_with_fused_attention():
     """image_major + fused_attention=True on the text encoder: the grouped
     cross-attention rows (Q*L) can cross the folded-kernel threshold — the
