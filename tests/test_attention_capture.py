@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from candidate_reranking_cir_tpu.models.layers import MultiHeadAttention
+import pytest
 
 
 def test_capture_attention_probs():
@@ -48,6 +49,7 @@ def test_perturb_attention_gradients():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_capture_branch_applies_attention_dropout():
     """Regression: the capture/perturb branch drew a dropout rng but never
     applied it — training with capture_attention=True silently skipped
@@ -78,6 +80,7 @@ def test_capture_branch_applies_attention_dropout():
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_med_capture_through_scan_and_query_group():
     """capture_attention threaded through TextEncoderConfig: sowed probs
     stack per layer through the nn.scan, and image-major fusion

@@ -11,6 +11,8 @@ from candidate_reranking_cir_tpu.config import (
 )
 from candidate_reranking_cir_tpu.models.blip_base import BlipBase
 
+pytestmark = pytest.mark.slow  # full BLIP-base wrapper forwards
+
 CFG = RetrievalModelConfig(
     vit=ViTConfig(image_size=16, patch_size=8, hidden_size=24, num_layers=2,
                   num_heads=2),

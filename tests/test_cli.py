@@ -100,6 +100,7 @@ def _common(workdir):
             "--model-config", str(workdir / "model_config.json")]
 
 
+@pytest.mark.slow
 def test_cli_validate_and_stage2(workdir, capsys):
     from candidate_reranking_cir_tpu.cli import validate, validate_stage2
 
@@ -120,6 +121,7 @@ def test_cli_validate_and_stage2(workdir, capsys):
     assert "recall_mean" in out
 
 
+@pytest.mark.slow
 def test_cli_submissions(workdir, capsys):
     from candidate_reranking_cir_tpu.cli import (
         cirr_test_submission,
@@ -191,6 +193,7 @@ def test_text_bucket_helpers():
     assert i4.shape == (2, 40)
 
 
+@pytest.mark.slow
 def test_parity_ladder_self_consistent(workdir, tmp_path, capsys):
     """Drive the full parity ladder against self-generated 'reference'
     artifacts: our own top-k file and golden-named submissions. Every rung

@@ -43,6 +43,7 @@ from candidate_reranking_cir_tpu.runtime.train_steps import (
     make_stage1_train_step,
     make_stage2_train_step,
 )
+import pytest
 
 VIT = ViTConfig(image_size=16, patch_size=8, hidden_size=16, num_layers=2,
                 num_heads=2)
@@ -92,6 +93,7 @@ def _sharded_leaves(tree):
     return sharded, len(jax.tree.leaves(tree))
 
 
+@pytest.mark.slow
 def test_stage1_step_collectives_replicated_params():
     """Global-batch contrast + DP grad sync: the compiled stage-I step must
     gather the target features (>=1 all-gather) and reduce gradients (>=1
@@ -116,6 +118,7 @@ def test_stage1_step_collectives_replicated_params():
     assert counts["collective-permute"] == 0, counts
 
 
+@pytest.mark.slow
 def test_stage1_step_fsdp_shards_params_and_moments():
     """Under FSDP the step must still gather + reduce, and — the actual ZeRO
     contract — the UPDATED state coming out of the program must keep both
@@ -144,6 +147,7 @@ def test_stage1_step_fsdp_shards_params_and_moments():
     assert o_sharded >= p_sharded, (o_sharded, p_sharded)
 
 
+@pytest.mark.slow
 def test_stage2_step_collectives():
     """The stage-II pair-grid step scores every local query against the
     GLOBAL candidate batch: target features / z_t must be gathered (>=1
@@ -189,6 +193,7 @@ def test_full_ranking_is_communication_free():
     assert all(v == 0 for v in counts.values()), counts
 
 
+@pytest.mark.slow
 def test_sharded_rerank_zt_gather_uses_psum_only():
     """The corpus-sharded candidate-major z_t producer fetches reference
     rows with a masked local take + psum (rerank.py zt_body.gather_global):

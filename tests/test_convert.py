@@ -60,6 +60,7 @@ def test_load_torch_state_wrappers(tmp_path):
         assert list(out) == ["w"] and out["w"].shape == (3, 2)
 
 
+@pytest.mark.slow
 def test_roundtrip_stage1_and_stage2():
     """export_*(convert == identity): JAX params -> torch keys -> JAX params."""
     import jax

@@ -19,6 +19,8 @@ from candidate_reranking_cir_tpu.models.blip_reranker import RerankerModel
 from candidate_reranking_cir_tpu.models.blip_retrieval import RetrievalModel
 from candidate_reranking_cir_tpu.runtime import convert
 
+pytestmark = pytest.mark.slow  # full-size (12L/768H) checkpoint conversions
+
 H, INTER, VOCAB, POS, PATCHES = 768, 3072, 30524, 512, 576
 
 

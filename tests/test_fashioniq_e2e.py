@@ -26,7 +26,10 @@ from candidate_reranking_cir_tpu.retrieval.validate_engine import (
 )
 from candidate_reranking_cir_tpu.retrieval.validate2_engine import (
     evaluate_fiq_stage2,
+
 )
+
+pytestmark = pytest.mark.slow  # FIQ end-to-end pipeline
 
 IMG = 32
 VIT = ViTConfig(image_size=IMG, patch_size=8, hidden_size=24, num_layers=1,

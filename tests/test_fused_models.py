@@ -9,6 +9,7 @@ from candidate_reranking_cir_tpu.config import TextEncoderConfig, ViTConfig
 from candidate_reranking_cir_tpu.models.dual_encoder import DualStreamEncoder
 from candidate_reranking_cir_tpu.models.med import TextEncoder
 from candidate_reranking_cir_tpu.models.vit import VisionTransformer
+import pytest
 
 
 def test_vit_fused_equals_xla():
@@ -24,6 +25,7 @@ def test_vit_fused_equals_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_med_fused_equals_xla():
     cfg = TextEncoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
                             num_heads=2, intermediate_size=64,
@@ -43,6 +45,7 @@ def test_med_fused_equals_xla():
                                atol=3e-5)
 
 
+@pytest.mark.slow
 def test_dual_fused_equals_xla_both_layouts():
     cfg = TextEncoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
                             num_heads=2, intermediate_size=64,
@@ -73,6 +76,7 @@ def test_dual_fused_equals_xla_both_layouts():
                                atol=3e-5)
 
 
+@pytest.mark.slow
 def test_dual_indexed_equals_per_pair():
     """score_indexed (unique candidates + pair_map) == per-pair grid."""
     import jax
@@ -110,6 +114,7 @@ def test_dual_indexed_equals_per_pair():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_score_grid_equals_per_query():
     """Candidate-major score_grid == score_per_query on the transposed grid,
     with and without the fused-attention kernel."""

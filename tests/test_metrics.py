@@ -168,6 +168,7 @@ def test_ranked_slices_mesh_matches_single_device():
     np.testing.assert_array_equal(a_rank, b_rank)
 
 
+@pytest.mark.slow
 def test_predict_queries_l_buckets_bit_exact():
     """Bucketed fusion widths must not change the features: pad keys are
     additively masked at -10000, so their softmax weight underflows to
@@ -232,6 +233,7 @@ def test_predict_queries_l_buckets_bit_exact():
     np.testing.assert_allclose(bucketed, single, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_embed_scan_matches_per_batch_embed():
     """make_embed_scan (one-dispatch index build) must equal the per-batch
     embed exactly."""

@@ -17,6 +17,7 @@ from candidate_reranking_cir_tpu.models.med import TextEncoder
 from candidate_reranking_cir_tpu.models.vit import VisionTransformer
 
 
+@pytest.mark.slow
 def test_vit_shapes(tiny_vit_cfg):
     model = VisionTransformer(tiny_vit_cfg)
     imgs = jnp.ones((2, 32, 32, 3))
@@ -27,6 +28,7 @@ def test_vit_shapes(tiny_vit_cfg):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_med_text_vs_multimodal(tiny_text_cfg):
     cfg = tiny_text_cfg
     ids = jnp.array([[2, 5, 6, 7, 3, 0, 0, 0]], dtype=jnp.int32)
@@ -44,6 +46,7 @@ def test_med_text_vs_multimodal(tiny_text_cfg):
     assert out_t.shape == (1, 8, cfg.hidden_size)
 
 
+@pytest.mark.slow
 def test_med_padding_invariance(tiny_text_cfg):
     """CLS output must not depend on content at masked positions — the static
     pad-to-bucket design relies on this (reference pads to longest instead)."""
@@ -66,6 +69,7 @@ def test_med_padding_invariance(tiny_text_cfg):
     np.testing.assert_allclose(out1[:, 0], out3[:, 0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_retrieval_model_end_to_end():
     cfg = RetrievalModelConfig(
         vit=ViTConfig(image_size=32, patch_size=8, hidden_size=24, num_layers=2,
@@ -122,12 +126,14 @@ def dual_setup():
     return enc, params, ids, mask, z_t, cand
 
 
+@pytest.mark.slow
 def test_dual_encoder_shapes(dual_setup):
     enc, params, ids, mask, z_t, cand = dual_setup
     out = enc.apply(params, ids, mask, z_t, cand, shared_candidates=True)
     assert out.shape == (3, 4, 64)  # [Q, C, 2*hidden]
 
 
+@pytest.mark.slow
 def test_dual_encoder_shared_equals_grid(dual_setup):
     """The shared-candidate fast path (K/V once per candidate) must score
     identically to the general per-pair grid path."""
@@ -139,6 +145,7 @@ def test_dual_encoder_shared_equals_grid(dual_setup):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dual_encoder_pair_independence(dual_setup):
     """Pair (i, j) must depend only on query i and candidate j — i.e. the pair
     grid is equivalent to the reference's loop over single (query, candidate)
@@ -152,6 +159,7 @@ def test_dual_encoder_pair_independence(dual_setup):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_reranker_model():
     cfg = RerankerModelConfig(
         vit=ViTConfig(image_size=32, patch_size=8, hidden_size=24, num_layers=2,
@@ -184,6 +192,7 @@ def test_reranker_model():
     np.testing.assert_allclose(np.asarray(scores), np.asarray(scores2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vit_large_factory_and_forward():
     """'large' factory matches the reference create_vit dims
     (blip.py:194-209: 1024 hidden / 24 layers / 16 heads) and the module

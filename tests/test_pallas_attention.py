@@ -17,6 +17,7 @@ from candidate_reranking_cir_tpu.ops.pallas_attention import (
 
 
 @pytest.mark.parametrize("lq,m", [(40, 577), (8, 64), (64, 128)])
+@pytest.mark.slow
 def test_fused_matches_xla_no_bias(lq, m):
     rng = np.random.default_rng(0)
     b, h, d = 3, 2, 64
@@ -45,6 +46,7 @@ def test_fused_matches_xla_with_bias():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_bf16():
     rng = np.random.default_rng(2)
     b, lq, m, h, d = 2, 40, 577, 2, 64
@@ -135,6 +137,7 @@ def test_folded_matches_xla_with_bias():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_folded_gradient():
     from candidate_reranking_cir_tpu.ops.pallas_attention import (
         fused_attention_folded,
@@ -160,6 +163,7 @@ def test_folded_gradient():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_folded_model_path_matches_unfolded():
     """A fused ViT forward (folded path engages at 577 tokens) must match
     the non-fused XLA path exactly at fp32."""

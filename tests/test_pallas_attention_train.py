@@ -52,6 +52,7 @@ def _expected_keep(seed, b, h, lq, m, rate):
 SEED = jnp.array([12345], jnp.int32)
 
 
+@pytest.mark.slow
 def test_p0_matches_xla():
     q = _rand(0, 3, 17, 4, 32)
     k = _rand(1, 3, 41, 4, 32)
@@ -61,6 +62,7 @@ def test_p0_matches_xla():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_p0_with_bias_matches_xla():
     q = _rand(0, 2, 9, 4, 32)
     k = _rand(1, 2, 21, 4, 32)
@@ -85,6 +87,7 @@ def test_dropout_matches_xla_with_replicated_mask():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_dropout_gradients_match_xla_with_replicated_mask():
     b, lq, m, h, d = 2, 7, 19, 2, 16
     rate = 0.25
@@ -107,6 +110,7 @@ def test_dropout_gradients_match_xla_with_replicated_mask():
         np.testing.assert_allclose(a, b_, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_gradients_with_bias_and_dropout():
     b, lq, m, h, d = 2, 9, 9, 2, 16
     rate = 0.1
@@ -170,6 +174,7 @@ def test_dot_product_attention_fused_train_route(monkeypatch):
     assert float(jnp.max(jnp.abs(out - det))) > 1e-3
 
 
+@pytest.mark.slow
 def test_pair_cross_attention_fused_train_route(monkeypatch):
     from candidate_reranking_cir_tpu.ops import pallas_attention_train as pat
 
@@ -191,6 +196,7 @@ def test_pair_cross_attention_fused_train_route(monkeypatch):
     np.testing.assert_allclose(out, expect, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stage2_train_step_routes_through_kernel(monkeypatch):
     """A real (tiny) stage-II train step with text fused_attention=True must
     dispatch the train kernel (self-attn with bias + pair-grid cross-attn)
@@ -280,6 +286,7 @@ def test_bf16_path():
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
 
 
+@pytest.mark.slow
 def test_entry_blocked_matches_xla_with_replicated_mask():
     """Short-row batches run entry-blocked (E entries per program); the
     dropout mask stays keyed by the ABSOLUTE batch index, so output and
@@ -321,6 +328,7 @@ def test_entry_blocked_matches_xla_with_replicated_mask():
         np.testing.assert_allclose(a, b_, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_entry_blocked_with_bias():
     b, lq, m, h, d = 4, 32, 40, 2, 32
     from candidate_reranking_cir_tpu.ops.pallas_attention_train import (
@@ -340,6 +348,7 @@ def test_entry_blocked_with_bias():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_folded_train_matches_unfolded_and_xla():
     """Folded train kernel ([B, L, H*D] layout) must match the unfolded
     kernel bitwise-in-mask (same absolute-batch-index keying) and the XLA
@@ -382,6 +391,7 @@ def test_folded_train_matches_unfolded_and_xla():
     np.testing.assert_allclose(gf[2], gx[2].reshape(b, m, h * d), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_folded_train_with_bias():
     from candidate_reranking_cir_tpu.ops.pallas_attention_train import (
         fused_attention_train_folded,

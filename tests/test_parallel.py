@@ -52,6 +52,7 @@ def test_eight_devices_present():
     assert jax.device_count() == 8
 
 
+@pytest.mark.slow
 def test_stage1_train_step_sharded():
     mesh = make_mesh()
     model = RetrievalModel(S1)
@@ -86,6 +87,7 @@ def test_stage1_train_step_sharded():
         assert moved
 
 
+@pytest.mark.slow
 def test_stage1_global_contrast_matches_single_device():
     """Sharded loss == single-device loss on identical inputs (the global-batch
     contrast is exact, not an approximation)."""
@@ -112,6 +114,7 @@ def test_stage1_global_contrast_matches_single_device():
                                rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_stage2_train_step_sharded():
     mesh = make_mesh()
     s1 = RetrievalModel(S1)
@@ -163,6 +166,7 @@ def test_sharded_topk_matches_global():
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
 
 
+@pytest.mark.slow
 def test_rerank_scoring_sharded_over_queries():
     """Stage-II [Q, K] scoring with the query axis sharded across the mesh:
     multi-chip eval is one jit with sharded inputs, numerically equal to
@@ -195,6 +199,7 @@ def test_rerank_scoring_sharded_over_queries():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_build_index_sharded_over_mesh():
     """Corpus embedding with the batch sharded across the 8-device mesh
     equals the single-device result."""
@@ -243,6 +248,7 @@ def test_build_index_sharded_over_mesh():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fsdp_matches_replicated_and_shards_opt_state():
     """ZeRO-style FSDP: identical losses/params to the replicated run over
     multiple steps, with params AND optimizer moments actually sharded
@@ -294,6 +300,7 @@ def test_fsdp_matches_replicated_and_shards_opt_state():
     assert max_shrink(state_fsdp.opt_state) == 1.0 / n_dev
 
 
+@pytest.mark.slow
 def test_predict_queries_image_major_sharded():
     """Image-major fusion under an 8-device mesh: Q-buckets whose image
     count divides the mesh run grouped (rows are image-contiguous, so the

@@ -87,6 +87,7 @@ def _tiny_stack():
     return s1, s1p, s2, s2p, tok
 
 
+@pytest.mark.slow
 def test_rerank_with_int8_bank_close_to_bf16(rng):
     from candidate_reranking_cir_tpu.retrieval.rerank import (
         rerank_candidate_major,
@@ -116,6 +117,7 @@ def test_rerank_with_int8_bank_close_to_bf16(rng):
                                rtol=0.05)
 
 
+@pytest.mark.slow
 def test_int8_with_sharded_index_rejected(rng):
     from candidate_reranking_cir_tpu.parallel.mesh import make_mesh
     from candidate_reranking_cir_tpu.retrieval.rerank import (
@@ -132,6 +134,7 @@ def test_int8_with_sharded_index_rejected(rng):
             mesh=make_mesh(), index_sharded=True)
 
 
+@pytest.mark.slow
 def test_serving_with_int8_index(rng):
     from candidate_reranking_cir_tpu.runtime.serve import (
         CIRServingEngine,

@@ -17,9 +17,12 @@ pytest.importorskip("transformers")
 
 from candidate_reranking_cir_tpu.runtime import reference_diff
 
-pytestmark = pytest.mark.skipif(
-    not reference_diff.reference_available(),
-    reason="reference sources not present")
+pytestmark = [
+    pytest.mark.skipif(not reference_diff.reference_available(),
+                       reason="reference sources not present"),
+    # full-config differentials vs the reference torch code
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

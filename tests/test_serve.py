@@ -26,7 +26,10 @@ from candidate_reranking_cir_tpu.runtime.serve import (
     MicroBatcher,
     ServeRequest,
     ServingIndex,
+
 )
+
+pytestmark = pytest.mark.slow  # serving stack fixture compiles the engines (~30 s)
 
 IMG = 32
 N = 10

@@ -141,6 +141,7 @@ def test_vit_matches_hf_vit():
     np.testing.assert_allclose(out, ref, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_dual_encoder_matches_med_under_duplication():
     """With duplicated single-stream weights, z_t == text embedding, and
     avg-merge at every layer, both dual streams must reproduce the

@@ -6,6 +6,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full train-loop epochs (CPU-minutes per test)
+
 IMG = 32
 N_IMAGES = 10
 N_TRAIN = 8
