@@ -637,13 +637,27 @@ def bench_stage1_eval(rtt):
 
 
 def main():
+    # --only rerank,s2train,s1train,s1eval — subset selection for A/B runs
+    # (tools/ harnesses and regression classification); default: all four.
+    names = {"rerank": bench_stage2_eval, "s2train": bench_stage2_train,
+             "s1train": bench_stage1_train, "s1eval": bench_stage1_eval}
+    selected = list(names)
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            sel = a.split("=", 1)[1] if "=" in a \
+                else sys.argv[sys.argv.index(a) + 1]
+            selected = [s.strip() for s in sel.split(",")]
     rtt = measure_rtt()
-    bench_stage2_eval(rtt)
-    for fn in (bench_stage2_train, bench_stage1_train, bench_stage1_eval):
+    first = True
+    for key in selected:
+        fn = names[key]
         try:
             fn(rtt)
-        except Exception as e:  # keep the headline line even if another
-            print(f"# {fn.__name__} failed: {e}", flush=True)  # bench dies
+        except Exception as e:
+            if first:  # keep the headline line even if another bench dies
+                raise
+            print(f"# {fn.__name__} failed: {e}", flush=True)
+        first = False
 
 
 if __name__ == "__main__":

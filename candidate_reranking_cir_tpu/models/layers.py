@@ -6,6 +6,7 @@ default) with float32 layer norms and softmax, mirroring the reference's AMP set
 """
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -15,6 +16,12 @@ from flax import linen as nn
 from candidate_reranking_cir_tpu.ops.attention import dot_product_attention
 
 Dtype = jnp.dtype
+
+# A/B toggle for the folded cross-attention routing (commit 6aeb740): set
+# CRC_NO_FOLDED_XATTN=1 to restore the pre-r4 eval routing (folded for long
+# query rows only, never for short-query cross-attention). Measurement
+# switch only — production always leaves this unset.
+_NO_FOLDED_XATTN = os.environ.get("CRC_NO_FOLDED_XATTN", "") == "1"
 
 
 def resolve_remat_policy(name: str):
@@ -239,7 +246,8 @@ class MultiHeadAttention(nn.Module):
                 # stays unfolded: its cost is below timing resolution either
                 # way and the lane slicing has no K/V win to amortize.
                 folded = (x.shape[-2] >= 128
-                          or (is_cross and y.shape[-2] >= 128))
+                          or (is_cross and y.shape[-2] >= 128
+                              and not _NO_FOLDED_XATTN))
         if folded:
             from candidate_reranking_cir_tpu.ops.attention import (
                 dot_product_attention_folded,

@@ -96,7 +96,13 @@ def bwd_T(q, k, v, bias, seed, g, rate, num_heads, interpret=False):
 
 
 def main():
-    rtt = measure_rtt()
+    # --check-only: run the interpret-mode numerics cross-check (use
+    # JAX_PLATFORMS=cpu — interpret mode through the remote-TPU relay
+    # dispatches every op individually and never finishes).
+    # --skip-check: timing only (the TPU half of the split run).
+    check_only = "--check-only" in sys.argv
+    skip_check = "--skip-check" in sys.argv
+    rtt = 0.0 if check_only else measure_rtt()
     rng = np.random.default_rng(0)
     b, lq, m, hd, h = 512, 32, 577, 768, 12
     rate = 0.1
@@ -123,15 +129,18 @@ def main():
 
     # numerics cross-check in interpret mode at tiny shapes (no Mosaic
     # compile; same math, same dropout mask keying)
-    bs = 8
-    o1 = T._bwd_impl_folded(q[:bs], k[:bs], v[:bs], None, seed, g[:bs],
-                            rate=rate, num_heads=h, interpret=True)
-    o2 = bwd_T(q[:bs], k[:bs], v[:bs], None, seed, g[:bs], rate=rate,
-               num_heads=h, interpret=True)
-    for a, bb, nm in zip(o1, o2, ("dq", "dk", "dv")):
-        d = float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                                  - bb.astype(jnp.float32))))
-        print(f"max|Δ{nm}| = {d:.2e}", flush=True)
+    if not skip_check:
+        bs = 8
+        o1 = T._bwd_impl_folded(q[:bs], k[:bs], v[:bs], None, seed, g[:bs],
+                                rate=rate, num_heads=h, interpret=True)
+        o2 = bwd_T(q[:bs], k[:bs], v[:bs], None, seed, g[:bs], rate=rate,
+                   num_heads=h, interpret=True)
+        for a, bb, nm in zip(o1, o2, ("dq", "dk", "dv")):
+            d = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                      - bb.astype(jnp.float32))))
+            print(f"max|Δ{nm}| = {d:.2e}", flush=True)
+    if check_only:
+        return
 
     for name, fn in (
             ("current", lambda *a: T._bwd_impl_folded(
