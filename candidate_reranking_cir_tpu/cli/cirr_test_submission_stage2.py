@@ -33,9 +33,13 @@ import jax
 
 
 def main(argv=None):
-    from candidate_reranking_cir_tpu.runtime.host import limit_numpy_threads
+    from candidate_reranking_cir_tpu.runtime.host import (
+        enable_compilation_cache,
+        limit_numpy_threads,
+    )
 
     limit_numpy_threads()
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     add_common_flags(parser)
     parser.add_argument("--stage1-path", type=str, required=True)

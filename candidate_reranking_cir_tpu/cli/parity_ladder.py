@@ -113,9 +113,13 @@ def _compare_topk(ours: dict, theirs: dict, depth: int) -> dict:
 
 
 def main(argv=None):
-    from candidate_reranking_cir_tpu.runtime.host import limit_numpy_threads
+    from candidate_reranking_cir_tpu.runtime.host import (
+        enable_compilation_cache,
+        limit_numpy_threads,
+    )
 
     limit_numpy_threads()
+    enable_compilation_cache()
     args = parse_args(argv)
     assert args.dataset.lower() == "cirr", "the ladder targets CIRR artifacts"
     ladder = Ladder()

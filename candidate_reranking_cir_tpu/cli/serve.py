@@ -256,9 +256,13 @@ def make_http_server(engine, port: int, window_ms: float,
 
 
 def main(argv=None):
-    from candidate_reranking_cir_tpu.runtime.host import limit_numpy_threads
+    from candidate_reranking_cir_tpu.runtime.host import (
+        enable_compilation_cache,
+        limit_numpy_threads,
+    )
 
     limit_numpy_threads()
+    enable_compilation_cache()
     args = parse_args(argv)
     engine = make_engine(args)
     if args.mode == "stdio":

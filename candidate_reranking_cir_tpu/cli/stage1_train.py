@@ -110,10 +110,12 @@ def tokenize_batch(tokenizer, captions, text_len):
 def main(argv=None):
     from candidate_reranking_cir_tpu.runtime.host import (
         GracefulShutdown,
+        enable_compilation_cache,
         limit_numpy_threads,
     )
 
     limit_numpy_threads()
+    enable_compilation_cache()
     args = parse_args(argv)
     dataset_name = args.dataset.lower()
     assert dataset_name in ("cirr", "fashioniq")

@@ -95,10 +95,12 @@ def parse_args(argv=None):
 def main(argv=None):
     from candidate_reranking_cir_tpu.runtime.host import (
         GracefulShutdown,
+        enable_compilation_cache,
         limit_numpy_threads,
     )
 
     limit_numpy_threads()
+    enable_compilation_cache()
     args = parse_args(argv)
     dataset_name = args.dataset.lower()
     assert dataset_name in ("cirr", "fashioniq")

@@ -65,6 +65,25 @@ def _pick_lq_blocks(lq: int, sublane: int) -> tuple[int, int, int]:
     return lq_block, lq_pad, lq_pad - lq
 
 
+# A/B toggles for tools/t_softmax_opt.py (read at import; production = both
+# off): CRC_NO_SCALE_FOLD=1 restores per-score scaling, CRC_ATTN_RECIP=1
+# normalizes with reciprocal-multiply instead of divide (not bitwise equal
+# to jax.nn.softmax's divide — measurement only unless promoted).
+import os as _os
+
+_NO_SCALE_FOLD = _os.environ.get("CRC_NO_SCALE_FOLD", "") == "1"
+_ATTN_RECIP = _os.environ.get("CRC_ATTN_RECIP", "") == "1"
+
+
+def _is_exact_pow2(x: float) -> bool:
+    import math
+
+    if _NO_SCALE_FOLD:
+        return False
+    m, _ = math.frexp(x)
+    return x > 0 and m == 0.5
+
+
 def _head_attention(q, k, v, bias, scale: float, out_dtype):
     """[Lq, D] x [M, D] -> [Lq, D]; exact fp32 softmax in VMEM.
 
@@ -72,14 +91,28 @@ def _head_attention(q, k, v, bias, scale: float, out_dtype):
     tile-UNaligned — Mosaic masks the physical tile padding inside the
     block's own VMEM allocation), so there are no garbage keys or rows to
     mask here and every DMA is in-bounds."""
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+    if _is_exact_pow2(scale):
+        # head_dim a power of 4 (64 everywhere here) makes 1/sqrt(d) an
+        # exact power of two: folding it into q only shifts exponents, so
+        # the scores are BITWISE identical while the per-score [Lq, M] VPU
+        # multiply collapses to a [Lq, D] one (M/D ~ 9x fewer elements at
+        # cross-attention shapes)
+        scores = jax.lax.dot_general(
+            q * q.dtype.type(scale), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
     if bias is not None:
         scores = scores + bias
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     probs = jnp.exp(scores)
-    probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(v.dtype)
+    denom = jnp.sum(probs, axis=-1, keepdims=True)
+    if _ATTN_RECIP:
+        probs = (probs * (1.0 / denom)).astype(v.dtype)
+    else:
+        probs = (probs / denom).astype(v.dtype)
     out = jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)

@@ -91,9 +91,21 @@ def _head_scores(q, k, bias, scale: float):
     exactly (no padded keys to mask; a block reaching past the array's
     physical allocation makes Mosaic issue out-of-bounds DMAs — see the eval
     kernel's history in ops/pallas_attention.py)."""
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+    from candidate_reranking_cir_tpu.ops.pallas_attention import (
+        _is_exact_pow2,
+    )
+
+    if _is_exact_pow2(scale):
+        # 1/sqrt(d) is an exact power of two for d=64: folding it into q
+        # shifts exponents only — bitwise-identical scores, and the [L, M]
+        # per-score multiply becomes an [L, D] one (see the eval kernel)
+        scores = jax.lax.dot_general(
+            q * q.dtype.type(scale), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
     if bias is not None:
         scores = scores + bias
     return scores

@@ -17,6 +17,38 @@ def limit_numpy_threads(n: int = 8) -> None:
         os.environ.setdefault(var, str(n))
 
 
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at a host directory.
+
+    On a remote-attached TPU every fresh XLA/Mosaic compile pays the relay's
+    remote-compile round trip (measured: ~1.5-2 s warm, minutes cold on this
+    rig); the persistent cache makes every repeat invocation of a CLI, bench
+    or test reuse the serialized executable instead. Verified to work through
+    the axon remote backend (entries land on the host; second process start
+    skips remote_compile). Opt-out with CRC_NO_COMPILE_CACHE=1; override the
+    location with CRC_COMPILE_CACHE_DIR or the argument. Called by every CLI
+    next to limit_numpy_threads(). Returns the directory used, or None when
+    disabled/unavailable.
+    """
+    if os.environ.get("CRC_NO_COMPILE_CACHE", "") == "1":
+        return None
+    cache_dir = (cache_dir or os.environ.get("CRC_COMPILE_CACHE_DIR")
+                 or os.path.join(os.path.expanduser("~"), ".cache",
+                                 "candidate_reranking_cir_tpu", "xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every executable: the relay round trip dominates even tiny
+        # compiles, so the usual size/compile-time thresholds are wrong here
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        return None  # unwritable dir or an older jax: run uncached
+    return cache_dir
+
+
 class GracefulShutdown:
     """Preemption handling for trainers: SIGTERM/SIGINT set a flag instead of
     killing the process, so the train loop finishes its current step, saves a

@@ -271,3 +271,27 @@ def test_parity_ladder_self_consistent(workdir, tmp_path, capsys):
     with pytest.raises(SystemExit) as e:
         parity_ladder.main(ladder_args + ["--expected", str(exp_path)])
     assert e.value.code == 1
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX's persistent cache at the host
+    dir (relay remote-compiles are the dominant CLI startup cost), honors
+    the opt-out, and actually writes entries for fresh compiles."""
+    from candidate_reranking_cir_tpu.runtime import host
+
+    monkeypatch.setenv("CRC_NO_COMPILE_CACHE", "1")
+    assert host.enable_compilation_cache(str(tmp_path / "off")) is None
+    assert not (tmp_path / "off").exists()
+
+    monkeypatch.delenv("CRC_NO_COMPILE_CACHE", raising=False)
+    cache_dir = host.enable_compilation_cache(str(tmp_path / "xla"))
+    try:
+        assert cache_dir == str(tmp_path / "xla")
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+        # an uncached shape must land an entry in the directory
+        x = np.asarray(np.random.default_rng(0).normal(size=(17, 19)),
+                       np.float32)
+        jax.jit(lambda a: (a * 2.0).sum())(x).block_until_ready()
+        assert any(Path(cache_dir).iterdir())
+    finally:  # tmp_path is deleted later — don't leave jax pointed at it
+        jax.config.update("jax_compilation_cache_dir", None)
