@@ -401,6 +401,16 @@ def _fwd_kernel_folded(seed_ref, q_ref, k_ref, v_ref, b_ref, o_ref, *,
             o_ref[e, :, sl] = out.astype(o_ref.dtype)
 
 
+# CRC_BWD_TRANSPOSED=1 computes dv/dk transposed (dv^T = g^T @ dropped:
+# N=m fills the 128 MXU lanes instead of N=head_dim=64, at the price of an
+# in-kernel [d, m] -> [m, d] transpose per head). A/B toggle for
+# tools/t_bwd_kernel.py / bench --only s1train; numerics are EXACT either
+# way (verified max|Δ|=0 in interpret mode at rate=0.1).
+import os as _os
+
+_BWD_TRANSPOSED = _os.environ.get("CRC_BWD_TRANSPOSED", "") == "1"
+
+
 def _bwd_kernel_folded(seed_ref, q_ref, k_ref, v_ref, b_ref, g_ref,
                        dq_ref, dk_ref, dv_ref, *, scale: float,
                        num_heads: int, head_dim: int, rate: float,
@@ -424,9 +434,15 @@ def _bwd_kernel_folded(seed_ref, q_ref, k_ref, v_ref, b_ref, g_ref,
             else:
                 keep = None
                 dropped = probs
-            dv_ref[e, :, sl] = jax.lax.dot_general(
-                dropped, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            if _BWD_TRANSPOSED:
+                dvT = jax.lax.dot_general(
+                    g, dropped, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dv_ref[e, :, sl] = dvT.T.astype(dv_ref.dtype)
+            else:
+                dv_ref[e, :, sl] = jax.lax.dot_general(
+                    dropped, g, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
             d_dropped = jax.lax.dot_general(
                 g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -437,12 +453,19 @@ def _bwd_kernel_folded(seed_ref, q_ref, k_ref, v_ref, b_ref, g_ref,
             d_scores = probs * (
                 d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True))
             d_scores = d_scores * scale
+            d_scores_lp = d_scores.astype(q.dtype)
             dq_ref[e, :, sl] = jax.lax.dot_general(
-                d_scores.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+                d_scores_lp, k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-            dk_ref[e, :, sl] = jax.lax.dot_general(
-                d_scores.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+            if _BWD_TRANSPOSED:
+                dkT = jax.lax.dot_general(
+                    q, d_scores_lp, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dk_ref[e, :, sl] = dkT.T.astype(dk_ref.dtype)
+            else:
+                dk_ref[e, :, sl] = jax.lax.dot_general(
+                    d_scores_lp, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
 def _bias3_folded(bias, b, lq, m):

@@ -39,11 +39,18 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         os.makedirs(cache_dir, exist_ok=True)
         import jax
 
+        changed = jax.config.jax_compilation_cache_dir != cache_dir
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache every executable: the relay round trip dominates even tiny
         # compiles, so the usual size/compile-time thresholds are wrong here
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        if changed:
+            # the cache backend is a lazily-created singleton: a dir change
+            # after the first compile is silently ignored without a reset
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
     except Exception:
         return None  # unwritable dir or an older jax: run uncached
     return cache_dir

@@ -295,3 +295,6 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         assert any(Path(cache_dir).iterdir())
     finally:  # tmp_path is deleted later — don't leave jax pointed at it
         jax.config.update("jax_compilation_cache_dir", None)
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()

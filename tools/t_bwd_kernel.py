@@ -18,6 +18,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bench import measure_rtt
 from candidate_reranking_cir_tpu.ops import pallas_attention_train as T
+from candidate_reranking_cir_tpu.runtime.host import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def _bwd_kernel_folded_T(seed_ref, q_ref, k_ref, v_ref, b_ref, g_ref,
